@@ -1,0 +1,149 @@
+"""Constrained greedy span decoding (reference semantics M3–M7, SURVEY.md §2.6).
+
+The reference decodes each entity type's 5-class per-subtoken probability
+matrix with a *sequential greedy* pass it calls Viterbi
+(data_processing/postprocessing.py:59-163): at step t the state is
+``argmax_s P(t,s) * A_t[state_{t-1}, s]`` where the per-position transition
+matrix ``A_t`` depends on word shape — multi-subtoken words use INIT/MIDDLE/FIN
+matrices, single-subtoken words the WORD matrix (postprocessing.py:128-138).
+Ties break to the LOWEST class index (strict ``>`` comparison,
+postprocessing.py:71,83); the initial state is O; positions outside the word
+range decode to O (postprocessing.py:145-150). Maximal runs of non-O states
+become spans (postprocessing.py:151-163) — which is what makes adjacent
+same-type entities merge (a documented reference limitation, README.md:285,
+that we reproduce for parity).
+
+Differences from the reference by design:
+* iterative instead of recursive (the reference recurses once per subtoken,
+  postprocessing.py:59-86, overflowing the stack near ~1k tokens);
+* float64 throughout, identical comparison order, so tie behavior matches.
+
+Classes: 0=O, 1=START, 2=END, 3=MIDDLE, 4=START-END (postprocessing.py:6-12).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+CLASSES = ("O", "START", "END", "MIDDLE", "START-END")
+N_CLASSES = 5
+O, START, END, MIDDLE, START_END = range(5)
+
+
+def _transition(legal: dict[int, tuple[int, ...]]) -> np.ndarray:
+    m = np.zeros((N_CLASSES, N_CLASSES), dtype=np.float64)
+    for src, dsts in legal.items():
+        for dst in dsts:
+            m[src, dst] = 1.0 / len(dsts)
+    return m
+
+
+# word-shape transition matrices (semantics of postprocessing.py:14-56)
+TRANS_INIT_SUBWORD = _transition(
+    {O: (O, START), START: (MIDDLE,), END: (O, START), MIDDLE: (MIDDLE,), START_END: (O, START)}
+)
+TRANS_FIN_SUBWORD = _transition({O: (O,), START: (END, MIDDLE), MIDDLE: (END, MIDDLE)})
+TRANS_MID_SUBWORD = _transition({O: (O,), START: (MIDDLE,), MIDDLE: (MIDDLE,)})
+TRANS_WHOLE_WORD = _transition(
+    {
+        O: (O, START, START_END),
+        START: (END, MIDDLE),
+        END: (O, START, START_END),
+        MIDDLE: (END, MIDDLE),
+        START_END: (O, START, START_END),
+    }
+)
+
+
+def softmax(logits: np.ndarray, axis: int = -1) -> np.ndarray:
+    """Numerically-stable softmax (reference applies tf softmax,
+    recognize.py:90)."""
+    shifted = logits - np.max(logits, axis=axis, keepdims=True)
+    e = np.exp(shifted)
+    return e / np.sum(e, axis=axis, keepdims=True)
+
+
+def validate_probabilities(proba: np.ndarray) -> None:
+    """Every row must be a proper distribution: components in (0,1) open
+    interval, sum within 1e-2 of 1 (postprocessing.py:99-111)."""
+    if proba.ndim != 2 or proba.shape[1] != N_CLASSES:
+        raise ValueError(f"expected (n, {N_CLASSES}) probability matrix, got {proba.shape}")
+    if proba.size and (
+        np.min(proba) <= 0.0
+        or np.max(proba) >= 1.0
+        or np.max(np.abs(proba.sum(axis=1) - 1.0)) > 1e-2
+    ):
+        raise ValueError("probability matrix rows are not distributions")
+
+
+def word_transition_stack(words: list[tuple[str, int, int]]) -> list[np.ndarray]:
+    """Per-subtoken transition matrix chosen by word shape
+    (postprocessing.py:128-138). ``words[i] = (text, first_sub, last_sub_excl)``."""
+    stack: list[np.ndarray] = []
+    for _text, first, last in words:
+        width = last - first
+        if width <= 0:
+            raise ValueError(f"word has empty subtoken range [{first},{last})")
+        if width == 1:
+            stack.append(TRANS_WHOLE_WORD)
+        else:
+            stack.append(TRANS_INIT_SUBWORD)
+            stack.extend([TRANS_MID_SUBWORD] * (width - 2))
+            stack.append(TRANS_FIN_SUBWORD)
+    return stack
+
+
+def greedy_decode(proba: np.ndarray, transitions: list[np.ndarray]) -> np.ndarray:
+    """Iterative constrained greedy pass. Ties -> lowest class index
+    (strict > like postprocessing.py:71,83); initial state O."""
+    n = proba.shape[0]
+    states = np.empty(n, dtype=np.int64)
+    prev = O
+    for t in range(n):
+        scores = proba[t] * transitions[t][prev]
+        # np.argmax returns the first (lowest-index) maximum == strict-> rule
+        prev = int(np.argmax(scores))
+        states[t] = prev
+    return states
+
+
+def spans_from_states(states: np.ndarray) -> list[tuple[int, int]]:
+    """Maximal runs of non-O states as half-open subtoken spans
+    (postprocessing.py:151-163)."""
+    spans: list[tuple[int, int]] = []
+    run_start = -1
+    for idx, s in enumerate(states):
+        if s != O:
+            if run_start < 0:
+                run_start = idx
+        elif run_start >= 0:
+            spans.append((run_start, idx))
+            run_start = -1
+    if run_start >= 0:
+        spans.append((run_start, len(states)))
+    return spans
+
+
+def decode_entity_spans(
+    proba: np.ndarray, words: list[tuple[str, int, int]]
+) -> list[tuple[int, int]]:
+    """Full M4→M6 path: validate, decode within the word range (outside
+    positions are O, postprocessing.py:145-150), extract spans."""
+    validate_probabilities(proba)
+    if not words:
+        return []
+    first = words[0][1]
+    last = words[-1][2]
+    transitions = word_transition_stack(words)
+    inner = greedy_decode(proba[first:last], transitions)
+    full = np.zeros(proba.shape[0], dtype=np.int64)
+    full[first:last] = inner
+    return spans_from_states(full)
+
+
+def subtoken_spans_to_char_spans(
+    spans: list[tuple[int, int]], subtoken_bounds: list[tuple[int, int]]
+) -> list[tuple[int, int]]:
+    """Subtoken span (i, j) → char span using the first subtoken's start and
+    the last subtoken's end (recognize.py:93-101)."""
+    return [(subtoken_bounds[i][0], subtoken_bounds[j - 1][1]) for i, j in spans]

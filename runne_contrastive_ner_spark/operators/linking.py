@@ -1,0 +1,113 @@
+"""Stage 3 — entity linking: blocking join + contrastive-similarity filter,
+then canonicalization via connected components.
+
+Linking decides which mention surfaces denote the same entity. Edge sources:
+
+1. **identity blocking** — mentions sharing a normalized surface form
+   (textnorm.normalize_surface) are trivially the same node; the node table
+   is the distinct set of normalized surfaces.
+2. **alias edges** — a curated alias list (small: broadcast join both ways).
+   In a production KG this is the gazetteer/alias dimension; skewed hub
+   entities on the mention side are handled by AQE skew join + the fact the
+   join output is per-distinct-surface, not per-mention.
+3. **embedding edges (optional)** — cosine similarity of contrastive span
+   embeddings above a threshold (reference metric space M9/M10:
+   siamese_nn.py:86-104; on unit vectors logistic-distance similarity is
+   monotone in the dot product). Off by default in oracle-verified paths
+   because the deterministic hash embedding is engine-internal.
+
+Canonical id = min surface of the connected component (components.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.embed import hash_embedding
+from ..functions.vocab import TEST_ALIASES
+from .components import connected_components
+
+
+def entity_nodes(mentions: DataFrame) -> DataFrame:
+    """Distinct normalized surfaces with per-surface stats (mention counts
+    shrink map-side before the shuffle)."""
+    return (
+        mentions.groupBy("surface_norm")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.array_sort(F.collect_set("type")).alias("types"),
+        )
+    )
+
+
+def alias_edges(spark: SparkSession, nodes: DataFrame, aliases: list[tuple[str, str]] | None = None) -> DataFrame:
+    """Alias pairs restricted to surfaces that actually occur as nodes
+    (both ends inner-joined; the alias side is broadcast)."""
+    aliases = TEST_ALIASES if aliases is None else aliases
+    alias_df = spark.createDataFrame(aliases, "src string, dst string")
+    surf = nodes.select(F.col("surface_norm"))
+    return (
+        alias_df.join(F.broadcast(surf.withColumnRenamed("surface_norm", "src")), on="src")
+        .join(F.broadcast(surf.withColumnRenamed("surface_norm", "dst")), on="dst")
+        .select("src", "dst")
+    )
+
+
+def embedding_edges(nodes: DataFrame, threshold: float = 0.9, dim: int = 16) -> DataFrame:
+    """Optional near-duplicate-surface edges by deterministic hash-embedding
+    cosine (stand-in for the trained contrastive encoder, M9/M10). The node
+    set is small relative to mentions (distinct surfaces), so a blocked
+    self-join is acceptable; a real deployment would LSH-bucket first."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def embed(surfaces: pd.Series) -> pd.Series:
+        return surfaces.map(lambda s: hash_embedding(s, dim).tolist())
+
+    emb = nodes.select("surface_norm", embed(F.col("surface_norm")).alias("vec"))
+    left = emb.select(F.col("surface_norm").alias("src"), F.col("vec").alias("va"))
+    right = emb.select(F.col("surface_norm").alias("dst"), F.col("vec").alias("vb"))
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    return (
+        left.join(right, F.col("src") < F.col("dst"))
+        .withColumn("cos", dot)
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("src", "dst")
+    )
+
+
+def canonicalize(
+    spark: SparkSession,
+    mentions: DataFrame,
+    aliases: list[tuple[str, str]] | None = None,
+    use_embedding_edges: bool = False,
+    embedding_threshold: float = 0.9,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """→ (entities, edges, mentions_with_canonical_id).
+
+    entities: (canonical_id, surface_norm, n_mentions, types)
+    edges:    (src, dst, kind)
+    """
+    nodes = entity_nodes(mentions)
+    edges = alias_edges(spark, nodes, aliases).withColumn("kind", F.lit("alias"))
+    if use_embedding_edges:
+        edges = edges.unionByName(
+            embedding_edges(nodes, embedding_threshold).withColumn("kind", F.lit("embedding"))
+        )
+
+    comp = connected_components(edges.select("src", "dst"))
+    entities = (
+        nodes.join(comp.withColumnRenamed("node", "surface_norm"), on="surface_norm", how="left")
+        .withColumn("canonical_id", F.coalesce(F.col("component"), F.col("surface_norm")))
+        .drop("component")
+    )
+    linked = mentions.join(
+        F.broadcast(entities.select("surface_norm", "canonical_id")),
+        on="surface_norm",
+        how="left",
+    ).withColumn("canonical_id", F.coalesce(F.col("canonical_id"), F.col("surface_norm")))
+    return entities, edges, linked

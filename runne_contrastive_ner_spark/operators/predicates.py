@@ -1,0 +1,86 @@
+"""Stage 2 — co-occurrence predicate induction within conversation windows.
+
+The north rule asks for dependency/co-occurrence-based predicate induction
+with stable turn ordering (Window over conv_id/turn_idx). Two predicates:
+
+* ``co_occurs_with`` — two canonical entities mentioned in the SAME turn
+  (subject < object lexicographically so each unordered pair appears once);
+* ``follows`` — subject entity mentioned in turn t, object entity mentioned
+  in one of the k preceding turns of the same conversation.
+
+Shuffle design: ONE shuffle on conv_id. Per-turn entity sets are aggregated
+first (map-side combine shrinks data before the shuffle), the look-back is a
+``Window.partitionBy(conv_id).orderBy(turn_idx).rangeBetween(-k, -1)`` over
+those compact per-turn sets — no self-join, no second shuffle. Long
+conversations are bounded by k, so window state stays O(k · entities/turn).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PRED_CO_OCCURS = "co_occurs_with"
+PRED_FOLLOWS = "follows"
+
+
+def turn_entity_sets(mentions: DataFrame, entity_col: str = "canonical_id") -> DataFrame:
+    """(conv_id, turn_idx, ents sorted-distinct array) — one row per turn."""
+    return (
+        mentions.groupBy("conv_id", "turn_idx")
+        .agg(F.array_sort(F.collect_set(entity_col)).alias("ents"))
+    )
+
+
+def induce_predicates(mentions: DataFrame, k: int = 2, entity_col: str = "canonical_id") -> DataFrame:
+    """mentions (with a canonical entity column) → triples
+    (conv_id, subj, pred, obj, src_turn_idx), distinct."""
+    turns = turn_entity_sets(mentions, entity_col)
+
+    # rangeBetween (not rowsBetween): "k preceding turns" is defined on
+    # turn_idx VALUES, so gaps from entity-free turns are honored
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rangeBetween(-k, -1)
+    )
+    turns = turns.withColumn(
+        "prev_ents",
+        F.array_distinct(F.flatten(F.coalesce(F.collect_list("ents").over(w), F.array()))),
+    )
+
+    same_turn = (
+        turns.select(
+            "conv_id",
+            F.col("turn_idx").alias("src_turn_idx"),
+            F.explode("ents").alias("subj"),
+            F.col("ents"),
+        )
+        .select(
+            "conv_id",
+            "src_turn_idx",
+            "subj",
+            F.explode("ents").alias("obj"),
+        )
+        .filter(F.col("subj") < F.col("obj"))
+        .withColumn("pred", F.lit(PRED_CO_OCCURS))
+    )
+
+    follows = (
+        turns.select(
+            "conv_id",
+            F.col("turn_idx").alias("src_turn_idx"),
+            F.explode("ents").alias("subj"),
+            F.col("prev_ents"),
+        )
+        .select(
+            "conv_id",
+            "src_turn_idx",
+            "subj",
+            F.explode("prev_ents").alias("obj"),
+        )
+        .withColumn("pred", F.lit(PRED_FOLLOWS))
+    )
+
+    cols = ["conv_id", "subj", "pred", "obj", "src_turn_idx"]
+    return same_turn.select(*cols).unionByName(follows.select(*cols)).distinct()

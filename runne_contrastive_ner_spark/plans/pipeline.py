@@ -1,0 +1,114 @@
+"""The five-stage KG-construction pipeline (SURVEY.md §3.4).
+
+    transcripts ─▶ mentions ─▶ entities/edges (linking + CC) ─▶ triples
+                                             └▶ materialized node/edge/triple
+                                                tables with manifests
+
+Each stage writes its output table through TableIO before the next starts —
+the write IS the checkpoint; ``StageRunner`` skips stages whose manifest
+fingerprint (inputs + params) matches, giving resumable batch execution with
+per-partition lineage, per the north rule.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vocab import ENTITY_TYPES, TEST_ALIASES, TEST_GAZETTEER
+from ..operators.linking import canonicalize
+from ..operators.mentions import extract_mentions
+from ..operators.predicates import induce_predicates
+from ..sources.tables import TableIO
+from .manifest import StageRunner, fingerprint
+
+
+@dataclass
+class PipelineConfig:
+    warehouse: str
+    window_k: int = 2
+    gazetteer: dict[str, str] = field(default_factory=lambda: dict(TEST_GAZETTEER))
+    aliases: list[tuple[str, str]] = field(default_factory=lambda: list(TEST_ALIASES))
+    entity_types: list[str] = field(default_factory=lambda: list(ENTITY_TYPES))
+    use_embedding_edges: bool = False
+    salt_partitions: int | None = None
+
+
+@dataclass
+class PipelineResult:
+    mentions: DataFrame
+    entities: DataFrame
+    edges: DataFrame
+    triples: DataFrame
+    metrics: dict
+
+
+def run_pipeline(
+    spark: SparkSession, transcripts: DataFrame, cfg: PipelineConfig, input_fp: str
+) -> PipelineResult:
+    io = TableIO(spark, cfg.warehouse)
+    runner = StageRunner(io)
+
+    base_fp = fingerprint(input_fp, sorted(cfg.gazetteer.items()), cfg.entity_types)
+
+    mentions = runner.run(
+        "mentions",
+        fingerprint("mentions", base_fp, cfg.salt_partitions),
+        lambda: extract_mentions(
+            transcripts,
+            gazetteer=cfg.gazetteer,
+            entity_types=cfg.entity_types,
+            salt_partitions=cfg.salt_partitions,
+        ),
+        lineage_key="conv_id",
+    )
+
+    link_fp = fingerprint("link", base_fp, sorted(cfg.aliases), cfg.use_embedding_edges)
+    # linking + CC produce two tables from one computation; build once, stage twice
+    state: dict[str, DataFrame] = {}
+
+    def build_linked():
+        entities, edges, linked = canonicalize(
+            spark,
+            mentions,
+            aliases=cfg.aliases,
+            use_embedding_edges=cfg.use_embedding_edges,
+        )
+        state["edges"] = edges
+        state["linked"] = linked
+        return entities
+
+    entities = runner.run("entities", link_fp, build_linked, lineage_key="canonical_id")
+    edges = runner.run(
+        "edges",
+        link_fp,
+        lambda: state.get("edges")
+        if "edges" in state
+        else canonicalize(spark, mentions, aliases=cfg.aliases,
+                          use_embedding_edges=cfg.use_embedding_edges)[1],
+    )
+
+    def build_triples():
+        if "linked" in state:
+            linked = state["linked"]
+        else:
+            linked = mentions.join(
+                F.broadcast(entities.select("surface_norm", "canonical_id")),
+                on="surface_norm",
+                how="left",
+            ).withColumn(
+                "canonical_id", F.coalesce(F.col("canonical_id"), F.col("surface_norm"))
+            )
+        return induce_predicates(linked, k=cfg.window_k)
+
+    triples = runner.run(
+        "triples",
+        fingerprint("triples", link_fp, cfg.window_k),
+        build_triples,
+        lineage_key="conv_id",
+    )
+
+    metrics = {s: vars(m) for s, m in runner.metrics.items()}
+    return PipelineResult(mentions, entities, edges, triples, metrics)

@@ -1,0 +1,74 @@
+"""TableIO — thin seam over Iceberg-or-Parquet table storage.
+
+The target deployment materializes mentions/entities/edges/triples as Iceberg
+tables (BASELINE.json north_rule). The sandbox lacks the Iceberg runtime jar,
+so TableIO probes for the catalog once and falls back to partitioned Parquet
+with an identical layout; all engine code goes through this seam and never
+branches on the backend itself (SURVEY.md §7.0).
+
+Scale notes: writes are partitioned by the bucketed conversation key so a
+1000-executor job writes many independent files; ``partition_cols`` defaults
+keep file counts bounded via AQE coalescing (session.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        # py4j resolves packages lazily, so attribute access alone cannot
+        # detect a missing jar — force a real classload
+        spark._jvm.java.lang.Class.forName(  # type: ignore[attr-defined]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class TableIO:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.use_iceberg = False
+        if iceberg_available(spark):  # pragma: no cover - not in sandbox
+            try:
+                spark.conf.set("spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog")
+                spark.conf.set("spark.sql.catalog.local.type", "hadoop")
+                spark.conf.set("spark.sql.catalog.local.warehouse", warehouse)
+                self.use_iceberg = True
+            except Exception:
+                self.use_iceberg = False
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.warehouse, table)
+
+    def write(self, df: DataFrame, table: str, partition_cols: list[str] | None = None, mode: str = "overwrite") -> None:
+        if self.use_iceberg:  # pragma: no cover
+            writer = df.writeTo(f"local.db.{table}")
+            if mode == "overwrite":
+                writer.createOrReplace()
+            else:
+                writer.append()
+            return
+        writer = df.write.mode(mode)
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(self.path(table))
+
+    def read(self, table: str) -> DataFrame:
+        if self.use_iceberg:  # pragma: no cover
+            return self.spark.read.table(f"local.db.{table}")
+        return self.spark.read.parquet(self.path(table))
+
+    def exists(self, table: str) -> bool:
+        if self.use_iceberg:  # pragma: no cover
+            return self.spark.catalog.tableExists(f"local.db.{table}")
+        p = self.path(table)
+        return os.path.exists(os.path.join(p, "_SUCCESS")) or (
+            os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p))
+        )

@@ -1,0 +1,185 @@
+"""Spark-level tests: mention extraction, connected components, linking,
+predicate induction, the staged pipeline with checkpointed resume, and the
+RuNNE JSONL source/sink roundtrip."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from runne_contrastive_ner_spark.functions.scorer import GazetteerScorer
+from runne_contrastive_ner_spark.functions.vocab import ENTITY_TYPES, TEST_GAZETTEER
+from runne_contrastive_ner_spark.operators.components import connected_components
+from runne_contrastive_ner_spark.operators.linking import canonicalize, embedding_edges, entity_nodes
+from runne_contrastive_ner_spark.operators.mentions import (
+    detect_mentions_in_text,
+    extract_mentions,
+)
+from runne_contrastive_ner_spark.operators.predicates import induce_predicates
+from runne_contrastive_ner_spark.plans.pipeline import PipelineConfig, run_pipeline
+from runne_contrastive_ner_spark.sources.jsonl import read_runne_jsonl, write_runne_jsonl
+from runne_contrastive_ner_spark.sources.transcripts import from_documents, synthesize
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return synthesize(spark, n_convs=6, turns_per_conv=8, long_conv_turns=40).cache()
+
+
+class TestMentions:
+    def test_matches_pure_python_kernel(self, spark, transcripts):
+        got = extract_mentions(transcripts).collect()
+        scorer = GazetteerScorer(TEST_GAZETTEER, ENTITY_TYPES)
+        expected = set()
+        for row in transcripts.collect():
+            for etype, a, b in detect_mentions_in_text(row["text"] or "", scorer):
+                expected.add((row["conv_id"], row["turn_idx"], etype, a, b))
+        assert {(r.conv_id, r.turn_idx, r.type, r.start, r.end) for r in got} == expected
+        assert len(got) == len(expected)  # no duplicate rows
+
+    def test_surface_columns(self, spark, transcripts):
+        row = (
+            extract_mentions(transcripts)
+            .filter(F.col("type") == "ORGANIZATION")
+            .first()
+        )
+        assert row.surface_norm == "big data"
+
+    def test_salted_repartition_same_result(self, spark, transcripts):
+        a = extract_mentions(transcripts).count()
+        b = extract_mentions(transcripts, salt_partitions=8).count()
+        assert a == b
+
+    def test_empty_text_rows_ignored(self, spark):
+        df = spark.createDataFrame(
+            [("c", 0, "u", None, "", None), ("c", 1, "u", "   ", "", None)],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        assert extract_mentions(df).count() == 0
+
+
+class TestConnectedComponents:
+    def test_chain_multi_hop(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], "src string, dst string"
+        )
+        comp = {r.node: r.component for r in connected_components(edges).collect()}
+        assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+    def test_empty_edges(self, spark):
+        edges = spark.createDataFrame([], "src string, dst string")
+        assert connected_components(edges).count() == 0
+
+
+class TestLinking:
+    def test_canonicalize_aliases(self, spark, transcripts):
+        mentions = extract_mentions(transcripts)
+        entities, edges, linked = canonicalize(spark, mentions)
+        canon = {r.surface_norm: r.canonical_id for r in entities.collect()}
+        # spark ~ vector ~ merge chain -> canonical 'merge'
+        assert canon.get("spark") == "merge"
+        assert canon.get("vector") == "merge"
+        assert canon.get("big data") == "big data"  # big data ~ window
+        assert canon.get("window") == "big data"
+        assert canon.get("customer") == "customer"  # singleton
+        # every mention got a canonical id
+        assert linked.filter(F.col("canonical_id").isNull()).count() == 0
+
+    def test_embedding_edges_shape(self, spark, transcripts):
+        nodes = entity_nodes(extract_mentions(transcripts))
+        e = embedding_edges(nodes, threshold=-1.1)  # accept all pairs
+        n = nodes.count()
+        assert e.count() == n * (n - 1) // 2
+
+
+class TestPredicates:
+    def test_same_turn_and_follows(self, spark):
+        mentions = spark.createDataFrame(
+            [
+                ("c1", 0, "e_a"), ("c1", 0, "e_b"),
+                ("c1", 1, "e_c"), ("c1", 3, "e_d"),
+                ("c2", 0, "e_a"),
+            ],
+            "conv_id string, turn_idx int, canonical_id string",
+        )
+        triples = {
+            (r.conv_id, r.subj, r.pred, r.obj, r.src_turn_idx)
+            for r in induce_predicates(mentions, k=2).collect()
+        }
+        assert ("c1", "e_a", "co_occurs_with", "e_b", 0) in triples
+        assert ("c1", "e_c", "follows", "e_a", 1) in triples
+        assert ("c1", "e_c", "follows", "e_b", 1) in triples
+        # turn 1 is within range [1,2] of turn 3; turn 0 is not
+        assert ("c1", "e_d", "follows", "e_c", 3) in triples
+        assert not any(
+            s == "e_d" and o in ("e_a", "e_b") for _, s, p, o, _ in triples if p == "follows"
+        )
+        # no cross-conversation leakage
+        assert not any(c == "c2" and p == "follows" for c, _, p, _, _ in triples)
+
+
+class TestPipeline:
+    def test_end_to_end_and_resume(self, spark, transcripts, tmp_path):
+        cfg = PipelineConfig(warehouse=str(tmp_path / "wh"))
+        res1 = run_pipeline(spark, transcripts, cfg, input_fp="t1")
+        assert res1.triples.count() > 0
+        assert res1.mentions.count() > 0
+        # second run: every stage must be skipped (manifest match)...
+        res2 = run_pipeline(spark, transcripts, cfg, input_fp="t1")
+        assert all(m["wall_sec"] == res1.metrics[s]["wall_sec"] for s, m in res2.metrics.items())
+        assert res2.triples.count() == res1.triples.count()
+        # ...and a changed input fingerprint recomputes
+        res3 = run_pipeline(spark, transcripts, cfg, input_fp="t2")
+        assert res3.metrics["mentions"]["wall_sec"] != res1.metrics["mentions"]["wall_sec"]
+
+    def test_lineage_recorded(self, spark, transcripts, tmp_path):
+        cfg = PipelineConfig(warehouse=str(tmp_path / "wh2"))
+        res = run_pipeline(spark, transcripts, cfg, input_fp="x")
+        assert res.metrics["mentions"]["partition_rows"]  # per-conv lineage
+
+
+class TestJsonl:
+    def test_roundtrip(self, spark, tmp_path):
+        src = tmp_path / "in.jsonl"
+        src.write_text(
+            '{"id": 2, "sentences": "ab cd", "ners": [[0, 1, "PERSON"], [0, 1, "PERSON"], [3, 4, "CITY"]]}\n'
+            '{"id": 1, "sentences": "xy"}\n'
+        )
+        df = read_runne_jsonl(spark, str(src))
+        rows = {r.id: r for r in df.collect()}
+        # dedup + half-open conversion + (start,end,type) sort
+        assert [(n.type, n.start, n.end) for n in rows[2].ners] == [
+            ("PERSON", 0, 2), ("CITY", 3, 5),
+        ]
+        assert rows[1].ners == []
+        out = tmp_path / "out"
+        write_runne_jsonl(df, str(out), with_text=True)
+        back = read_runne_jsonl(spark, str(out))
+        assert {r.id: [(n.type, n.start, n.end) for n in r.ners] for r in back.collect()} == {
+            r.id: [(n.type, n.start, n.end) for n in r.ners] for r in df.collect()
+        }
+
+    def test_strict_validation(self, spark, tmp_path):
+        bad = tmp_path / "bad.jsonl"
+        bad.write_text('{"id": 1, "sentences": "ab", "ners": [[0, 5, "PERSON"]]}\n')
+        with pytest.raises(ValueError):
+            read_runne_jsonl(spark, str(bad))
+
+    def test_duplicate_ids_rejected(self, spark, tmp_path):
+        dup = tmp_path / "dup.jsonl"
+        dup.write_text('{"id": 1, "sentences": "ab"}\n{"id": 1, "sentences": "cd"}\n')
+        with pytest.raises(ValueError):
+            read_runne_jsonl(spark, str(dup))
+
+
+class TestTranscriptSources:
+    def test_from_documents_schema_and_determinism(self, spark):
+        t = from_documents(spark, SF_DIR)
+        assert t.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        a = t.orderBy("conv_id", "turn_idx").limit(5).collect()
+        b = from_documents(spark, SF_DIR).orderBy("conv_id", "turn_idx").limit(5).collect()
+        assert a == b
+        # stable turn ordering: turn_idx unique per conv
+        dups = t.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1).count()
+        assert dups == 0
