@@ -1,38 +1,120 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: full KG pipeline (mention detection →
+                     linking/CC → window predicate induction) over
+                     transcripts derived from the sf0.001 documents table,
+                     returning the triples DataFrame.
+``queries()``      — one callable per implemented operator
+                     (SURVEY.md §2 + the training-data-pipeline family).
+``oracle_sql()``   — DuckDB-equivalent SQL per query (oracle_sql.py);
+                     entries without SQL (engine-internal ops) get the
+                     driver's rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from runne_contrastive_ner_spark import oracle_sql as OSQL
+from runne_contrastive_ner_spark.operators import dedup as dd
+from runne_contrastive_ner_spark.operators import relational as rel
+from runne_contrastive_ner_spark.operators import similarity as sim
+from runne_contrastive_ner_spark.operators import textstats as ts
+from runne_contrastive_ner_spark.operators.linking import canonicalize
+from runne_contrastive_ner_spark.operators.mentions import extract_mentions
+from runne_contrastive_ner_spark.operators.predicates import induce_predicates
+from runne_contrastive_ner_spark.sources.transcripts import from_documents
+
+
+# --- KG pipeline queries ----------------------------------------------------
+
+def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_mentions(from_documents(spark, sf_dir))
+
+
+def _linked(spark: SparkSession, sf_dir: str):
+    mentions = extract_mentions(from_documents(spark, sf_dir))
+    return canonicalize(spark, mentions)
+
+
+def kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    entities, _, _ = _linked(spark, sf_dir)
+    return entities.select(
+        "canonical_id",
+        "surface_norm",
+        F.col("n_mentions").cast("bigint").alias("n_mentions"),
+        F.concat_ws(",", "types").alias("types"),
+    )
+
+
+def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, edges, _ = _linked(spark, sf_dir)
+    return edges
+
+
+def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, linked = _linked(spark, sf_dir)
+    return induce_predicates(linked, k=2)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return kg_triples(spark, "/root/testdata/sf0.001")
 
+
+# --- registry ---------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # KG pipeline (stages 1-5 against the derived transcripts table)
+        "kg_mentions": kg_mentions,
+        "kg_entities": kg_entities,
+        "kg_edges": kg_edges,  # rows-only: engine-internal edge list
+        "kg_triples": kg_triples,
+        # relational operator family (SURVEY.md §2.3-2.5, §2.8)
+        "rel_event_type_freqs": rel.event_type_freqs,
+        "rel_min_freq_gate": rel.min_freq_gate,
+        "rel_pricing_summary": rel.pricing_summary,
+        "rel_top_orders_per_priority": rel.top_orders_per_priority,
+        "rel_stratified_hash_split": rel.stratified_hash_split,
+        "rel_token_array_dedup_sort": rel.token_array_dedup_sort,
+        "rel_symmetric_pair_dedup": rel.symmetric_pair_dedup,
+        "rel_seeded_sample_rollup": rel.seeded_sample_rollup,
+        "rel_region_order_rollup": rel.region_order_rollup,
+        "rel_events_within_hour_pairs": rel.events_within_hour_pairs,
+        "rel_event_transitions": rel.event_transitions,
+        "rel_sessionization": rel.sessionization,
+        # dedup family
+        "dd_exact_dup_stats": dd.exact_dup_stats,
+        "dd_ngram_jaccard_pairs": dd.ngram_jaccard_pairs,
+        "dd_minhash_signatures": dd.minhash_signatures,
+        "dd_minhash_lsh_candidates": dd.minhash_lsh_candidates,
+        "dd_simhash_values": dd.simhash_values,
+        "dd_embedding_neardup_pairs": dd.embedding_neardup_pairs,
+        # similarity search
+        "sim_ann_bruteforce_topk": sim.ann_bruteforce_topk,
+        "sim_lsh_buckets": sim.lsh_bucket_assignments,
+        "sim_ann_lsh_topk": sim.ann_lsh_topk,  # rows-only: approximate path
+        # text analysis
+        "ts_lang_id": ts.lang_id_heuristic,
+        "ts_quality_scores": ts.quality_scores,
+        "ts_token_stats_by_source": ts.token_stats_by_source,
+        "ts_doc_fingerprints": ts.doc_fingerprints,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(OSQL.RELATIONAL)
+    out.update(OSQL.DEDUP)
+    out.update(OSQL.SIMILARITY)
+    out.update(OSQL.TEXTSTATS)
+    out.update(OSQL.KG)
+    return out

@@ -1,0 +1,90 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall seconds over the headline set. The flagship metric
+(turns/sec triple extraction) is also included, along with per-query
+timings. Scaling evidence across parallelism levels lives in
+tools/scaling_bench.py (writes BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from runne_contrastive_ner_spark.session import build_session
+
+# headline set: the KG pipeline stages + one representative per operator
+# family (quadratic correctness baselines like all-pairs jaccard/cosine are
+# exercised by the correctness gate at sf0.01, not benchmarked at sf0.1)
+HEADLINE = [
+    "kg_mentions",
+    "kg_triples",
+    "rel_pricing_summary",
+    "rel_region_order_rollup",
+    "rel_sessionization",
+    "rel_event_transitions",
+    "dd_minhash_lsh_candidates",
+    "dd_simhash_values",
+    "sim_lsh_buckets",
+    "ts_quality_scores",
+    "ts_doc_fingerprints",
+]
+
+
+def run_query(q, spark, sf_dir) -> tuple[float, int]:
+    t0 = time.time()
+    n = q(spark, sf_dir).count()
+    return time.time() - t0, n
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = build_session(app_name="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    # warm the JVM/Python workers once so timings measure the operators
+    queries["rel_min_freq_gate"](spark, sf_dir).count()
+
+    total = 0.0
+    for name in HEADLINE:
+        sec, n = run_query(queries[name], spark, sf_dir)
+        timings[name] = round(sec, 3)
+        counts[name] = n
+        total += sec
+
+    # flagship throughput: turns/sec through mention detection + triples
+    from runne_contrastive_ner_spark.sources.transcripts import from_documents
+
+    n_turns = from_documents(spark, sf_dir).count()
+    turns_sec = round(n_turns / (timings["kg_mentions"] + timings["kg_triples"]), 2)
+
+    out = {
+        "metric": "headline_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "turns_per_sec": turns_sec,
+        "n_turns": n_turns,
+        "row_counts": counts,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

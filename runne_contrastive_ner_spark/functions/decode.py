@@ -76,34 +76,54 @@ def validate_probabilities(proba: np.ndarray) -> None:
         raise ValueError("probability matrix rows are not distributions")
 
 
-def word_transition_stack(words: list[tuple[str, int, int]]) -> list[np.ndarray]:
+# tuple-of-tuples mirrors for the sequential decoder hot loop: per-step
+# vectors have 5 elements, where plain Python floats beat numpy dispatch by
+# ~5x; semantics identical (same float64 values)
+_AS_ROWS = lambda m: tuple(tuple(row) for row in m)  # noqa: E731
+_T_INIT = _AS_ROWS(TRANS_INIT_SUBWORD)
+_T_FIN = _AS_ROWS(TRANS_FIN_SUBWORD)
+_T_MID = _AS_ROWS(TRANS_MID_SUBWORD)
+_T_WORD = _AS_ROWS(TRANS_WHOLE_WORD)
+
+
+def word_transition_stack(
+    words: list[tuple[str, int, int]],
+) -> list[tuple[tuple[float, ...], ...]]:
     """Per-subtoken transition matrix chosen by word shape
     (postprocessing.py:128-138). ``words[i] = (text, first_sub, last_sub_excl)``."""
-    stack: list[np.ndarray] = []
+    stack: list[tuple[tuple[float, ...], ...]] = []
     for _text, first, last in words:
         width = last - first
         if width <= 0:
             raise ValueError(f"word has empty subtoken range [{first},{last})")
         if width == 1:
-            stack.append(TRANS_WHOLE_WORD)
+            stack.append(_T_WORD)
         else:
-            stack.append(TRANS_INIT_SUBWORD)
-            stack.extend([TRANS_MID_SUBWORD] * (width - 2))
-            stack.append(TRANS_FIN_SUBWORD)
+            stack.append(_T_INIT)
+            stack.extend([_T_MID] * (width - 2))
+            stack.append(_T_FIN)
     return stack
 
 
-def greedy_decode(proba: np.ndarray, transitions: list[np.ndarray]) -> np.ndarray:
+def greedy_decode(proba: np.ndarray, transitions: list) -> np.ndarray:
     """Iterative constrained greedy pass. Ties -> lowest class index
     (strict > like postprocessing.py:71,83); initial state O."""
     n = proba.shape[0]
+    rows = proba.tolist()
     states = np.empty(n, dtype=np.int64)
     prev = O
     for t in range(n):
-        scores = proba[t] * transitions[t][prev]
-        # np.argmax returns the first (lowest-index) maximum == strict-> rule
-        prev = int(np.argmax(scores))
-        states[t] = prev
+        p = rows[t]
+        trans = transitions[t][prev]
+        best = 0
+        best_score = p[0] * trans[0]
+        for s in range(1, N_CLASSES):
+            score = p[s] * trans[s]
+            if score > best_score:  # strict >: first maximum wins
+                best_score = score
+                best = s
+        prev = best
+        states[t] = best
     return states
 
 

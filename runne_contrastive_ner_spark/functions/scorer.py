@@ -30,7 +30,7 @@ from __future__ import annotations
 import numpy as np
 
 from .decode import MIDDLE, N_CLASSES, O, START, START_END, END
-from .textnorm import normalize_surface
+from .textnorm import normalize_surface, normalize_word_cached
 
 CONF = 0.92
 DEFAULT_WINDOW = 256
@@ -88,7 +88,7 @@ class GazetteerScorer(Scorer):
         proba = np.full((len(self.entity_types), n, N_CLASSES), (1.0 - CONF) / (N_CLASSES - 1))
         proba[:, :, O] = CONF
         words = words_from_pieces(pieces)
-        norm_words = [normalize_surface(w) for w, _, _ in words]
+        norm_words = [normalize_word_cached(w) for w, _, _ in words]
         for term_words, t_idx in self._terms:
             k = len(term_words)
             for w_i in range(0, len(norm_words) - k + 1):

@@ -19,12 +19,15 @@ strings (single words), never per-DataFrame-row from the JVM.
 from __future__ import annotations
 
 import unicodedata
+from functools import lru_cache
 
 PLACEHOLDER = "`"
 
 
 def remove_accents(text: str) -> str:
     """Accent-fold preserving length: 1 output char per input char."""
+    if text.isascii():  # fast path: ASCII has no combining marks
+        return text
     out = []
     for ch in text:
         decomposed = unicodedata.normalize("NFKD", ch)
@@ -63,3 +66,11 @@ def normalize_surface(text: str) -> str:
     accent-fold, lowercase, collapse internal whitespace."""
     folded = remove_accents(text).lower()
     return " ".join(folded.split())
+
+
+@lru_cache(maxsize=1 << 16)
+def normalize_word_cached(word: str) -> str:
+    """Memoized normalize for the tokenizer/scorer hot path — natural-language
+    word vocabularies repeat heavily, so this is nearly always a dict hit.
+    (Pure function; cache is per Python worker.)"""
+    return normalize_surface(word)

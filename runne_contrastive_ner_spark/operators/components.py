@@ -32,11 +32,16 @@ def connected_components(
 ) -> DataFrame:
     """edges(src, dst) undirected → (node, component) where component is the
     lexicographic minimum node id of the component."""
+    # materialize the symmetrized edge list once: the loop references it every
+    # iteration, and without this the entire upstream lineage (which may
+    # include the expensive mention-detection UDF stage) re-executes per
+    # iteration
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint(eager=True)

@@ -1,0 +1,200 @@
+"""Deduplication family over the ``documents`` table — the operators a
+large-scale training-data pipeline needs (exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup), each expressed with JVM-side
+builtin functions (no Python in the hot path) and each DuckDB-oracle-checked.
+
+Portability contract: every hash is the md5-derived integer from
+functions/hashing.py, computed with the SAME SQL in Spark and DuckDB, so
+signatures and pair sets match bit-for-bit.
+
+Scale notes:
+* shingling/minhashing is a narrow map + one groupBy(doc) — shuffle volume
+  is O(docs × n_perms), independent of text length after the map;
+* LSH banding turns the quadratic candidate problem into an equi-join on
+  band keys (the scale path); the all-pairs Jaccard/cosine variants are
+  correctness baselines, quadratic by construction, and bounded to small
+  dimension tables (embeddings: one broadcast side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import spark_md5_int_sql
+from .relational import load
+
+N_PERMS = 16
+BAND_SIZE = 4
+SIMHASH_BITS = 32
+MOD_FP = 1_000_000_007
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def _shingles(tokens_col: str = "toks", n: int = 3):
+    """Distinct word n-grams as space-joined strings (builtin higher-order
+    functions only)."""
+    # guard: Spark's sequence(1, 0) produces a DESCENDING [1, 0], so short
+    # documents must short-circuit to an empty array
+    return F.array_distinct(
+        F.expr(
+            f"IF(size({tokens_col}) < {n}, array(),"
+            f" transform(sequence(1, size({tokens_col}) - {n - 1}),"
+            f" i -> concat_ws(' ', slice({tokens_col}, i, {n}))))"
+        )
+    )
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), _tokens().alias("toks"))
+        .select("doc_id", F.explode(_shingles()).alias("shingle"))
+        .filter(F.col("shingle") != "")
+    )
+
+
+def exact_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash (hash-groupBy)."""
+    docs = load(spark, sf_dir, "documents").select(F.md5("text").alias("h"))
+    return docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("h").cast("bigint").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).cast("bigint").alias("n_dup_docs"),
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.12) -> DataFrame:
+    """All-pairs n-gram Jaccard via shingle inverted index: explode →
+    equi-join on shingle → count common → |A|+|B|-common. Jaccard is a ratio
+    of integers, so Spark and DuckDB produce bit-identical doubles."""
+    sh = doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.col("common").cast("bigint").alias("common"),
+        )
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str, n_perms: int = N_PERMS) -> DataFrame:
+    """MinHash signature rows (doc_id, seed, minhash): one narrow explode of
+    the seed range, one groupBy(doc, seed) min — fully JVM-side."""
+    sh = doc_shingles(spark, sf_dir)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {n_perms - 1})")).alias("seed"),
+        F.col("shingle"),
+    )
+    h = F.expr(spark_md5_int_sql("concat(cast(seed as string), ':', shingle)"))
+    return (
+        seeded.withColumn("h", h)
+        .groupBy("doc_id", F.col("seed").cast("bigint").alias("seed"))
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: 16 perms → 4 bands of 4; candidate pairs are docs
+    sharing any band key (equi-join on the band hash — the 100 TB path:
+    no quadratic comparison anywhere)."""
+    sig = minhash_signatures(spark, sf_dir)
+    banded = (
+        sig.withColumn("band", (F.col("seed") / BAND_SIZE).cast("bigint"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(F.concat_ws(":", F.col("seed").cast("string"), F.col("minhash").cast("string")))
+                ),
+            ).alias("band_sig")
+        )
+        .withColumn("band_key", F.md5(F.concat_ws("|", F.col("band").cast("string"), F.col("band_sig"))))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: token-count-weighted bit votes over the
+    portable token hash. Bit extraction uses floor-div by powers of two so
+    the arithmetic is identical in DuckDB."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), F.explode(_tokens()).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.expr(spark_md5_int_sql("tok", hex_digits=8)))
+    )
+    bits = toks.select(
+        "doc_id",
+        "cnt",
+        "h",
+        F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("b"),
+    ).withColumn(
+        "vote",
+        (2 * (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("b"))).cast("bigint") % 2) - 1)
+        * F.col("cnt"),
+    )
+    return (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn("bit", (F.col("v") >= 0).cast("bigint"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("b")).cast("bigint"))
+            .cast("bigint")
+            .alias("simhash")
+        )
+    )
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
+    """Embedding-cosine near-duplicates: all-pairs over the (small)
+    embeddings table with double math matching the oracle term-for-term.
+    The LSH-bucketed variant in similarity.py is the scale path."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    na = "sqrt(aggregate(zip_with(va, va, (x, y) -> x * y), 0D, (acc, v) -> acc + v))"
+    nb = "sqrt(aggregate(zip_with(vb, vb, (x, y) -> x * y), 0D, (acc, v) -> acc + v))"
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.expr(f"({dot}) / (({na}) * ({nb}))"))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+    )

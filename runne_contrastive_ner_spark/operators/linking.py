@@ -92,7 +92,12 @@ def canonicalize(
     entities: (canonical_id, surface_norm, n_mentions, types)
     edges:    (src, dst, kind)
     """
-    nodes = entity_nodes(mentions)
+    # the mention stage is the expensive pandas-UDF scan; it is referenced by
+    # nodes, edges, AND the final linked join — persist so downstream actions
+    # compute it once (the staged pipeline gets the same effect from its
+    # table writes; this covers direct composition)
+    mentions = mentions.persist()
+    nodes = entity_nodes(mentions).persist()
     edges = alias_edges(spark, nodes, aliases).withColumn("kind", F.lit("alias"))
     if use_embedding_edges:
         edges = edges.unionByName(

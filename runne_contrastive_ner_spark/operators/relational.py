@@ -1,0 +1,267 @@
+"""Relational operators over the driver testdata tables — the SQL-expressible
+re-expressions of SURVEY.md §2 (aggregations A1/A2/A5/A6, ordering O1-O5,
+joins J1/J3/J4, window semantics §2.8), each a (spark, sf_dir) -> DataFrame
+callable checked against a DuckDB oracle.
+
+Scale notes are attached per operator; common themes:
+* aggregations rely on partial (map-side) combine — plain groupBy/agg;
+* dimension joins broadcast the small side explicitly;
+* deterministic "random" (splits, samples) is content hashing, never rand(),
+  so results are reproducible under any partitioning (SURVEY.md §7.2);
+* self-joins are banded/bucketed so the join condition has an equi component
+  (a pure theta join would be a broadcast nested loop at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import spark_md5_int_sql
+
+DEC = "decimal(18,2)"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- aggregations -----------------------------------------------------------
+
+def event_type_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A6: frequency report grouped by type, ordered (-freq, name)
+    (train_test_split.py:6-24,99-110 semantics). Hash aggregate with
+    map-side combine; output is tiny."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), "event_type")
+    )
+
+
+def min_freq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: the split-acceptance gate — min/max/total class frequency
+    (train_test_split.py:41-45)."""
+    freqs = (
+        load(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return freqs.agg(
+        F.min("freq").cast("bigint").alias("min_freq"),
+        F.max("freq").cast("bigint").alias("max_freq"),
+        F.sum("freq").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5-style metrics rollup (TPC-H Q1 shape) over lineitem. Decimal
+    accumulation so the result is exact and partition-order-independent."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < F.lit("1998-09-01"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))).cast(
+                    "decimal(22,4)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.avg(F.col("l_quantity").cast(DEC)), 4).cast("double").alias("avg_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- ordering / limits / dedup / splits ------------------------------------
+
+def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2-style deterministic ordering: top-3 orders by totalprice within
+    each priority (window row_number; single shuffle on the partition key)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_orderpriority",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.col("o_totalprice").cast(DEC).cast("double").alias("o_totalprice"),
+        )
+    )
+
+
+def stratified_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: the 85/15 stratified split re-expressed as deterministic content
+    hashing (md5 bucket on the key) instead of the reference's sequential
+    rejection resampling (train_test_split.py:27-111) — reproducible under
+    any parallelism. Output: per (split, mktsegment) counts for validation."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    bucket = F.expr(spark_md5_int_sql("cast(o_orderkey as string)")) % 100
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("split", F.when(bucket < 85, F.lit("train")).otherwise(F.lit("val")))
+        .groupBy("split", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("split", "c_mktsegment")
+    )
+
+
+def token_array_dedup_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: per-document dedup + lexicographic sort of an array column
+    (io_utils.py:80-83 semantics) via array_distinct/array_sort — no UDF,
+    no shuffle."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.array_sort(F.array_distinct(F.split(F.col("text"), " "))).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_distinct"),
+            F.concat_ws(",", F.slice("toks", 1, 5)).alias("first5"),
+        )
+    )
+
+
+def symmetric_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: symmetric pair dedup via least/greatest key normalization
+    (trainset_building.py:256-279 semantics) over nations sharing a region."""
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("a"), F.col("n_regionkey").alias("rk")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("b"), F.col("n_regionkey").alias("rk2")
+    )
+    return (
+        n1.join(n2, (F.col("rk") == F.col("rk2")) & (F.col("a") != F.col("b")))
+        .select(
+            F.least("a", "b").alias("left"),
+            F.greatest("a", "b").alias("right"),
+            F.col("rk").cast("bigint").alias("regionkey"),
+        )
+        .distinct()
+        .orderBy("left", "right")
+    )
+
+
+def seeded_sample_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/J3: deterministic capped sampling — order by a content hash, take
+    the first 1000, aggregate. Replaces the reference's sequential
+    random.choice pair sampling (trainset_building.py:243-266) with a
+    seed-stable, shuffle-friendly equivalent."""
+    orders = load(spark, sf_dir, "orders")
+    h = F.expr(spark_md5_int_sql("cast(o_orderkey as string)"))
+    sample = orders.withColumn("h", h).orderBy("h").limit(1000)
+    return (
+        sample.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- joins ------------------------------------------------------------------
+
+def region_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4-style blocking equi-joins with explicitly broadcast dimensions
+    (region/nation/customer are tiny vs orders); one shuffle for the final
+    aggregate only."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def events_within_hour_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-style interval/band self-join: same-user event pairs within one
+    hour (strictly later). The equi key (user_id) bounds the join; AQE
+    handles per-user skew. Output: pair counts per type transition."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --- window functions -------------------------------------------------------
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 window semantics: per-user previous event via lag over
+    (user_id, ts, event_id) — the conversation-window analogue on the
+    events table."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events").withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    )
+    return (
+        ev.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("prev_type", "event_type")
+    )
+
+
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-minute inactivity gap) — the same
+    island pattern the mention merger uses, at the events scale. One shuffle
+    on user_id; two stacked windows, no self-join."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800)
+            ).cast("int"),
+        )
+        .withColumn("session_no", F.sum("new_session").over(w))
+    )
+    sessions = ev.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))).alias("span_sec"),
+    )
+    return sessions.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.round(F.avg("span_sec"), 4).alias("avg_span_sec"),
+        F.max("n_events").cast("bigint").alias("max_events"),
+    )

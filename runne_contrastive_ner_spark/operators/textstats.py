@@ -1,0 +1,106 @@
+"""Text-analysis operators over the ``documents`` table: language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+All JVM-side builtin expressions (no Python UDFs), all integer-derived
+arithmetic so the DuckDB oracles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import load
+
+STOPWORDS = ("the", "a")
+FP_MOD = 1_000_000_007
+FP_PREFIX = 64
+
+
+def _toks():
+    return F.expr("filter(split(text, ' '), t -> t != '')")
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str, threshold: float = 0.05) -> DataFrame:
+    """n-gram/stopword-ratio language ID: English function-word density.
+    (The corpus vocabulary is English; the heuristic's value here is that
+    Spark and the oracle agree on an exactly-defined classifier.)"""
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), _toks().alias("toks")
+    )
+    return (
+        docs.withColumn("n_toks", F.size("toks"))
+        .withColumn("n_stop", F.expr(f"size(filter(toks, t -> t IN ({stop_list})))"))
+        .withColumn(
+            "stop_ratio",
+            F.when(F.col("n_toks") > 0, F.col("n_stop") / F.col("n_toks")).otherwise(F.lit(0.0)),
+        )
+        .select(
+            "doc_id",
+            F.round("stop_ratio", 6).alias("stop_ratio"),
+            F.when(F.col("stop_ratio") >= threshold, F.lit("en"))
+            .otherwise(F.lit("und"))
+            .alias("pred_lang"),
+        )
+    )
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from length / distinct-token / stopword ratios —
+    the standard pretraining-corpus filters, exactly specified."""
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), F.col("text"), _toks().alias("toks")
+    )
+    return (
+        docs.withColumn("n_toks", F.size("toks"))
+        .withColumn("n_distinct", F.size(F.array_distinct("toks")))
+        .withColumn("n_stop", F.expr(f"size(filter(toks, t -> t IN ({stop_list})))"))
+        .withColumn(
+            "quality",
+            F.round(
+                0.4 * F.least(F.lit(1.0), F.col("n_toks") / F.lit(100.0))
+                + 0.3 * (F.col("n_distinct") / F.greatest(F.col("n_toks"), F.lit(1)))
+                + 0.3 * (1 - F.col("n_stop") / F.greatest(F.col("n_toks"), F.lit(1))),
+                6,
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("n_toks").cast("bigint").alias("n_toks"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            F.col("n_stop").cast("bigint").alias("n_stop"),
+            "quality",
+        )
+    )
+
+
+def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting rolled up by source: total / distinct tokens, docs."""
+    docs = load(spark, sf_dir, "documents").select("source", F.explode(_toks()).alias("tok"), "doc_id")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_tokens"),
+            F.countDistinct("tok").cast("bigint").alias("distinct_tokens"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash over the first 64 chars — the document
+    fingerprint primitive (base 31, mod 1e9+7), a pure fold expressible in
+    both engines with identical 64-bit arithmetic."""
+    fp = F.expr(
+        f"""
+        IF(length(text) = 0, 0L,
+           aggregate(sequence(1, least(length(text), {FP_PREFIX})), 0L,
+                     (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % {FP_MOD}))
+        """
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), fp.alias("fingerprint"))
+    )

@@ -1,0 +1,449 @@
+"""DuckDB oracle SQL for every oracle-checkable query in __spark_entry__.
+
+Each SQL string computes, on DuckDB over the driver-registered parquet views,
+exactly what the corresponding Spark operator computes — same column names,
+same value semantics (decimal accumulation for money, md5-derived hashing,
+identical tie-breaking). The KG oracles derive the transcripts table from
+``documents`` with the same arithmetic the engine uses
+(sources/transcripts.py) and re-implement mention detection as substring
+search + island merging, canonicalization as a recursive-CTE transitive
+closure — an independent formulation that must agree with the
+tokenize→score→decode→CC pipeline.
+"""
+
+from __future__ import annotations
+
+from .functions.vocab import TEST_ALIASES, TEST_GAZETTEER
+from .sources.transcripts import DUCKDB_TRANSCRIPTS_SQL
+
+# ---------------------------------------------------------------------------
+# relational operators
+# ---------------------------------------------------------------------------
+
+RELATIONAL: dict[str, str] = {
+    "rel_event_type_freqs": """
+        SELECT event_type, count(*)::BIGINT AS freq
+        FROM events GROUP BY event_type
+        ORDER BY freq DESC, event_type
+    """,
+    "rel_min_freq_gate": """
+        SELECT min(freq)::BIGINT AS min_freq, max(freq)::BIGINT AS max_freq,
+               sum(freq)::BIGINT AS total, count(*)::BIGINT AS n_types
+        FROM (SELECT count(*) AS freq FROM events GROUP BY event_type)
+    """,
+    "rel_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+               sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+               sum((l_extendedprice::DECIMAL(18,2)
+                    * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(22,4))::DOUBLE
+                 AS sum_disc_price,
+               round(avg(l_quantity::DECIMAL(18,2)), 4)::DOUBLE AS avg_qty,
+               count(*)::BIGINT AS count_order
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "rel_top_orders_per_priority": """
+        SELECT o_orderpriority, rank::BIGINT AS rank, o_orderkey::BIGINT AS o_orderkey,
+               o_totalprice::DECIMAL(18,2)::DOUBLE AS o_totalprice
+        FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rank
+          FROM orders
+        ) WHERE rank <= 3
+    """,
+    "rel_stratified_hash_split": """
+        SELECT CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT % 100 < 85
+                    THEN 'train' ELSE 'val' END AS split,
+               c_mktsegment, count(*)::BIGINT AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "rel_token_array_dedup_sort": """
+        SELECT doc_id::BIGINT AS doc_id,
+               len(toks)::BIGINT AS n_distinct,
+               array_to_string(toks[1:5], ',') AS first5
+        FROM (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
+              FROM documents)
+    """,
+    "rel_symmetric_pair_dedup": """
+        SELECT DISTINCT least(a.n_name, b.n_name) AS "left",
+               greatest(a.n_name, b.n_name) AS "right",
+               a.n_regionkey::BIGINT AS regionkey
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey AND a.n_name <> b.n_name
+        ORDER BY 1, 2
+    """,
+    "rel_seeded_sample_rollup": """
+        SELECT o_orderpriority, count(*)::BIGINT AS n,
+               sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS sum_price
+        FROM (
+          SELECT * FROM orders
+          ORDER BY ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
+          LIMIT 1000
+        ) GROUP BY 1 ORDER BY 1
+    """,
+    "rel_region_order_rollup": """
+        SELECT r_name, count(*)::BIGINT AS n_orders,
+               sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS sum_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """,
+    "rel_events_within_hour_pairs": """
+        SELECT a.event_type AS type_a, b.event_type AS type_b, count(*)::BIGINT AS n_pairs
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "rel_event_transitions": """
+        SELECT prev_type, event_type, count(*)::BIGINT AS n
+        FROM (SELECT event_type,
+                     lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_type
+              FROM events)
+        WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "rel_sessionization": """
+        WITH marked AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+          SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS session_no
+          FROM marked
+        ), sessions AS (
+          SELECT user_id, session_no, count(*) AS n_events,
+                 max(floor(epoch(ts))::BIGINT) - min(floor(epoch(ts))::BIGINT) AS span_sec
+          FROM numbered GROUP BY user_id, session_no
+        )
+        SELECT count(*)::BIGINT AS n_sessions,
+               round(avg(n_events), 4)::DOUBLE AS avg_events,
+               round(avg(span_sec), 4)::DOUBLE AS avg_span_sec,
+               max(n_events)::BIGINT AS max_events
+        FROM sessions
+    """,
+}
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / text-analysis oracles
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT doc_id,
+               unnest([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)])
+                 AS shingle
+        FROM toks)
+  WHERE shingle != ''
+)
+"""
+
+DEDUP: dict[str, str] = {
+    "dd_exact_dup_stats": """
+        SELECT count(*)::BIGINT AS n_docs,
+               count(DISTINCT md5(text))::BIGINT AS n_unique,
+               (count(*) - count(DISTINCT md5(text)))::BIGINT AS n_dup_docs
+        FROM documents
+    """,
+    "dd_ngram_jaccard_pairs": f"""
+        WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+               round(common / (sa.n_sh + sb.n_sh - common), 6)::DOUBLE AS jaccard,
+               common::BIGINT AS common
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.12
+    """,
+    "dd_minhash_signatures": f"""
+        WITH {_SHINGLES_CTE}
+        SELECT doc_id::BIGINT AS doc_id, seed::BIGINT AS seed,
+               min(('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::BIGINT)
+                 AS minhash
+        FROM sh, unnest(range(0, 16)) AS s(seed)
+        GROUP BY doc_id, seed
+    """,
+    "dd_minhash_lsh_candidates": f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (
+          SELECT doc_id, seed,
+                 min(('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::BIGINT)
+                   AS minhash
+          FROM sh, unnest(range(0, 16)) AS s(seed)
+          GROUP BY doc_id, seed
+        ),
+        banded AS (
+          SELECT doc_id, seed // 4 AS band,
+                 md5((seed // 4)::VARCHAR || '|' ||
+                     array_to_string(list_sort(list(seed::VARCHAR || ':' || minhash::VARCHAR)), ','))
+                   AS band_key
+          FROM sig GROUP BY doc_id, seed // 4
+        )
+        SELECT DISTINCT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+    "dd_simhash_values": """
+        WITH tok AS (
+          SELECT doc_id, tok, count(*) AS cnt
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE tok != '' GROUP BY doc_id, tok
+        ),
+        hashed AS (SELECT *, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+        bits AS (
+          SELECT doc_id, b,
+                 sum((2 * ((floor(h / power(2, b))::BIGINT) % 2) - 1) * cnt) AS v
+          FROM hashed, unnest(range(0, 32)) AS u(b)
+          GROUP BY doc_id, b
+        )
+        SELECT doc_id::BIGINT AS doc_id,
+               sum(CASE WHEN v >= 0 THEN power(2, b)::BIGINT ELSE 0 END)::BIGINT AS simhash
+        FROM bits GROUP BY doc_id
+    """,
+    "dd_embedding_neardup_pairs": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 list_sum([a.v[d] * b.v[d] FOR d IN range(1, 65)])
+                 / (sqrt(list_sum([a.v[d] * a.v[d] FOR d IN range(1, 65)]))
+                    * sqrt(list_sum([b.v[d] * b.v[d] FOR d IN range(1, 65)]))) AS cos
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+        )
+        SELECT vec_a::BIGINT AS vec_a, vec_b::BIGINT AS vec_b,
+               round(cos, 6)::DOUBLE AS cos
+        FROM pairs WHERE cos >= 0.3
+    """,
+}
+
+_DUCK_COS = (
+    "list_sum([a.va[d] * b.vb[d] FOR d IN range(1, 65)])"
+    " / (sqrt(list_sum([a.va[d] * a.va[d] FOR d IN range(1, 65)]))"
+    " * sqrt(list_sum([b.vb[d] * b.vb[d] FOR d IN range(1, 65)])))"
+)
+
+_DUCK_PLANE = (
+    "((('0x' || substr(md5('p' || p || 'd' || (d - 1)), 1, 15))::BIGINT % 2001) - 1000)"
+    " / 1000.0"
+)
+
+SIMILARITY: dict[str, str] = {
+    "sim_ann_bruteforce_topk": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 {_DUCK_COS.replace('a.va', 'a.v').replace('b.vb', 'b.v')} AS cos_raw
+          FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_raw DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+               neighbor_id::BIGINT AS neighbor_id, round(cos_raw, 6)::DOUBLE AS cos
+        FROM ranked WHERE rank <= 5
+    """,
+    "sim_lsh_buckets": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT vec_id::BIGINT AS vec_id,
+               list_sum([
+                 CASE WHEN list_sum([v[d] * ({_DUCK_PLANE}) FOR d IN range(1, 65)]) >= 0
+                      THEN power(2, p)::BIGINT ELSE 0 END
+                 FOR p IN range(0, 6)])::BIGINT AS bucket
+        FROM e
+    """,
+}
+
+TEXTSTATS: dict[str, str] = {
+    "ts_lang_id": """
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '), x -> x != '') AS toks
+                   FROM documents),
+        s AS (SELECT doc_id, len(toks) AS n_toks,
+                     len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stop
+              FROM t),
+        r AS (SELECT doc_id,
+                     CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END AS sr
+              FROM s)
+        SELECT doc_id::BIGINT AS doc_id, round(sr, 6)::DOUBLE AS stop_ratio,
+               CASE WHEN sr >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang
+        FROM r
+    """,
+    "ts_quality_scores": """
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '), x -> x != '') AS toks
+                   FROM documents),
+        s AS (SELECT doc_id, len(toks) AS n_toks,
+                     len(list_distinct(toks)) AS n_distinct,
+                     len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stop
+              FROM t)
+        SELECT doc_id::BIGINT AS doc_id, n_toks::BIGINT AS n_toks,
+               n_distinct::BIGINT AS n_distinct, n_stop::BIGINT AS n_stop,
+               round(0.4 * least(1.0, n_toks / 100.0)
+                     + 0.3 * (n_distinct / greatest(n_toks, 1))
+                     + 0.3 * (1 - n_stop / greatest(n_toks, 1)), 6)::DOUBLE AS quality
+        FROM s
+    """,
+    "ts_token_stats_by_source": """
+        SELECT source, count(*)::BIGINT AS total_tokens,
+               count(DISTINCT tok)::BIGINT AS distinct_tokens,
+               count(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM (SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok != ''
+        GROUP BY source ORDER BY source
+    """,
+    "ts_doc_fingerprints": """
+        SELECT doc_id::BIGINT AS doc_id,
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   [ascii(substr(text, i, 1))::BIGINT
+                    FOR i IN range(1, least(length(text), 64) + 1)]),
+                 (a, b) -> (a * 31 + b) % 1000000007)::BIGINT AS fingerprint
+        FROM documents
+    """,
+}
+
+# ---------------------------------------------------------------------------
+# KG pipeline oracles (independent SQL formulation of stages 1, 3/4, 2/5)
+# ---------------------------------------------------------------------------
+
+
+def _terms_values() -> str:
+    return ", ".join(
+        f"('{surface}', '{etype}')" for surface, etype in sorted(TEST_GAZETTEER.items())
+    )
+
+
+def _alias_values() -> str:
+    return ", ".join(f"('{a}', '{b}')" for a, b in TEST_ALIASES)
+
+
+def kg_common_ctes() -> str:
+    """Shared CTE chain: derived transcripts → word-boundary substring
+    matches → island-merged mentions (the SQL mirror of the reference's
+    adjacent-same-type span merging) → surfaces → alias transitive closure
+    → canonical entities."""
+    return f"""
+WITH transcripts AS ({DUCKDB_TRANSCRIPTS_SQL}),
+terms(term, type) AS (VALUES {_terms_values()}),
+raw_matches AS (
+  SELECT t.conv_id, t.turn_idx, g.type, u.i - 1 AS m_start,
+         u.i - 1 + length(g.term) AS m_end, t.text
+  FROM transcripts t
+  CROSS JOIN terms g,
+  UNNEST(range(1, length(t.text) - length(g.term) + 2)) AS u(i)
+  WHERE substr(t.text, u.i, length(g.term)) = g.term
+    AND (u.i = 1 OR NOT regexp_matches(substr(t.text, u.i - 1, 1), '[a-z0-9]'))
+    AND (u.i + length(g.term) > length(t.text)
+         OR NOT regexp_matches(substr(t.text, u.i + length(g.term), 1), '[a-z0-9]'))
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(m_end) OVER w IS NULL THEN 1
+                 WHEN trim(substr(text, lag(m_end) OVER w + 1,
+                                  m_start - lag(m_end) OVER w)) = '' THEN 0
+                 ELSE 1 END AS new_island
+  FROM raw_matches
+  WINDOW w AS (PARTITION BY conv_id, turn_idx, type ORDER BY m_start)
+),
+islands AS (
+  SELECT *, sum(new_island) OVER (PARTITION BY conv_id, turn_idx, type
+                                  ORDER BY m_start) AS island
+  FROM flagged
+),
+mentions AS (
+  SELECT conv_id, turn_idx, type,
+         min(m_start)::INTEGER AS start, max(m_end)::INTEGER AS "end",
+         substr(any_value(text), min(m_start) + 1, max(m_end) - min(m_start)) AS surface
+  FROM islands
+  GROUP BY conv_id, turn_idx, type, island
+),
+surfaces AS (SELECT DISTINCT surface AS surface_norm FROM mentions),
+alias_pairs(a, b) AS (VALUES {_alias_values()}),
+edges AS (
+  SELECT p.a AS src, p.b AS dst FROM alias_pairs p
+  JOIN surfaces s1 ON s1.surface_norm = p.a
+  JOIN surfaces s2 ON s2.surface_norm = p.b
+  UNION
+  SELECT p.b, p.a FROM alias_pairs p
+  JOIN surfaces s1 ON s1.surface_norm = p.a
+  JOIN surfaces s2 ON s2.surface_norm = p.b
+),
+reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst
+),
+canon AS (
+  SELECT node, least(min(r), node) AS canonical FROM reach GROUP BY node
+),
+entities AS (
+  SELECT s.surface_norm, coalesce(c.canonical, s.surface_norm) AS canonical_id
+  FROM surfaces s LEFT JOIN canon c ON c.node = s.surface_norm
+)
+""".strip()
+
+
+KG: dict[str, str] = {
+    "kg_mentions": f"""
+WITH RECURSIVE placeholder AS (SELECT 1),
+{kg_common_ctes()[5:]}
+SELECT conv_id, turn_idx, type, start, "end", surface, surface AS surface_norm
+FROM mentions
+    """,
+    "kg_entities": f"""
+WITH RECURSIVE placeholder AS (SELECT 1),
+{kg_common_ctes()[5:]},
+stats AS (
+  SELECT m.surface AS surface_norm, count(*)::BIGINT AS n_mentions,
+         array_to_string(list_sort(list(DISTINCT m.type)), ',') AS types
+  FROM mentions m GROUP BY m.surface
+)
+SELECT e.canonical_id, e.surface_norm, s.n_mentions, s.types
+FROM entities e JOIN stats s USING (surface_norm)
+    """,
+    "kg_triples": f"""
+WITH RECURSIVE placeholder AS (SELECT 1),
+{kg_common_ctes()[5:]},
+turn_ents AS (
+  SELECT DISTINCT m.conv_id, m.turn_idx, e.canonical_id
+  FROM mentions m JOIN entities e ON e.surface_norm = m.surface
+),
+same_turn AS (
+  SELECT a.conv_id, a.canonical_id AS subj, 'co_occurs_with' AS pred,
+         b.canonical_id AS obj, a.turn_idx AS src_turn_idx
+  FROM turn_ents a JOIN turn_ents b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND a.canonical_id < b.canonical_id
+),
+follows AS (
+  SELECT DISTINCT a.conv_id, a.canonical_id AS subj, 'follows' AS pred,
+         b.canonical_id AS obj, a.turn_idx AS src_turn_idx
+  FROM turn_ents a JOIN turn_ents b
+    ON a.conv_id = b.conv_id
+   AND b.turn_idx BETWEEN a.turn_idx - 2 AND a.turn_idx - 1
+)
+SELECT DISTINCT * FROM (
+  SELECT * FROM same_turn UNION ALL SELECT * FROM follows
+)
+    """,
+}
