@@ -27,6 +27,8 @@ from runne_contrastive_ner_spark.operators import dedup as dd
 from runne_contrastive_ner_spark.operators import relational as rel
 from runne_contrastive_ner_spark.operators import similarity as sim
 from runne_contrastive_ner_spark.operators import textstats as ts
+from runne_contrastive_ner_spark.operators import multimodal as mm
+from runne_contrastive_ner_spark.operators import trainset as tr
 from runne_contrastive_ner_spark.operators.linking import canonicalize
 from runne_contrastive_ner_spark.operators.mentions import extract_mentions
 from runne_contrastive_ner_spark.operators.predicates import induce_predicates
@@ -64,6 +66,60 @@ def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return induce_predicates(linked, k=2)
 
 
+def kg_type_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A6 in its native form: entity-occurrence frequency report by type
+    over detected mentions (train_test_split.py:6-24 semantics)."""
+    return (
+        kg_mentions(spark, sf_dir)
+        .groupBy("type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), "type")
+    )
+
+
+def tr_span_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tr.span_inventory(kg_mentions(spark, sf_dir))
+
+
+def tr_siamese_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tr.siamese_pair_sample(kg_mentions(spark, sf_dir))
+
+
+def tr_max_seq_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tr.max_seq_len_agg(from_documents(spark, sf_dir))
+
+
+def tr_ner_trainset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: nested per-type label arrays are engine-internal. Docs are
+    derived from transcripts with mentions as gold spans (the prepare-
+    trainset path, §3.2)."""
+    t = from_documents(spark, sf_dir)
+    m = kg_mentions(spark, sf_dir)
+    docs = (
+        t.join(
+            m.groupBy("conv_id", "turn_idx").agg(
+                F.collect_list(F.struct("type", "start", "end")).alias("ners")
+            ),
+            ["conv_id", "turn_idx"],
+            "left",
+        )
+        .select(
+            F.xxhash64("conv_id", "turn_idx").alias("id"),
+            F.col("text"),
+            F.coalesce("ners", F.array()).alias("ners"),
+        )
+    )
+    return tr.build_ner_trainset(docs)
+
+
+def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.media_features(mm.synthesize_media(spark, sf_dir))
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.video_frame_sample(mm.synthesize_media(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return kg_triples(spark, "/root/testdata/sf0.001")
@@ -78,6 +134,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities": kg_entities,
         "kg_edges": kg_edges,  # rows-only: engine-internal edge list
         "kg_triples": kg_triples,
+        "kg_type_freqs": kg_type_freqs,
+        # training-prep family (SURVEY.md §3.2: T8/T9, M11-M13, A3/A4, J3)
+        "tr_span_inventory": tr_span_inventory,
+        "tr_siamese_pairs": tr_siamese_pairs,
+        "tr_max_seq_len": tr_max_seq_len,
+        "tr_ner_trainset": tr_ner_trainset,  # rows-only: nested label arrays
+        # multimodal plumbing (binary payloads + decode-stub feature UDFs)
+        "mm_media_features": mm_media_features,
+        "mm_frame_sample": mm_frame_sample,
         # relational operator family (SURVEY.md §2.3-2.5, §2.8)
         "rel_event_type_freqs": rel.event_type_freqs,
         "rel_min_freq_gate": rel.min_freq_gate,
@@ -107,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_quality_scores": ts.quality_scores,
         "ts_token_stats_by_source": ts.token_stats_by_source,
         "ts_doc_fingerprints": ts.doc_fingerprints,
+        "ts_bpe_token_counts": ts.bpe_token_counts,
     }
 
 
@@ -116,5 +182,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(OSQL.DEDUP)
     out.update(OSQL.SIMILARITY)
     out.update(OSQL.TEXTSTATS)
+    out.update(OSQL.MULTIMODAL)
+    out.update(OSQL.TRAINSET)
     out.update(OSQL.KG)
     return out

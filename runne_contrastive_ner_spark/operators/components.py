@@ -24,14 +24,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+SMALL_GRAPH_EDGES = 100_000
+
+
+def _union_find_local(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Driver-side union-find for small graphs — one collect instead of
+    O(diameter) distributed iterations of scheduling overhead. Same result
+    as the distributed path (component = min member)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """edges(src, dst) undirected → (node, component) where component is the
-    lexicographic minimum node id of the component."""
+    lexicographic minimum node id of the component.
+
+    Hybrid strategy: graphs under ``small_graph_edges`` are solved with one
+    collect + driver union-find (the distributed loop's per-iteration
+    scheduling overhead dwarfs tiny graphs); larger graphs run the
+    distributed hash-min iteration. Both produce identical labels."""
     # materialize the symmetrized edge list once: the loop references it every
     # iteration, and without this the entire upstream lineage (which may
     # include the expensive mention-detection UDF stage) re-executes per
@@ -43,6 +75,16 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = sym.count()
+    if n_edges <= small_graph_edges:
+        pairs = [(r["a"], r["b"]) for r in sym.collect()]
+        labels_map = _union_find_local(pairs)
+        spark = edges.sparkSession
+        if not labels_map:
+            return spark.createDataFrame([], "node string, component string")
+        return spark.createDataFrame(
+            sorted(labels_map.items()), "node string, component string"
+        )
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint(eager=True)
 

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.embed import hash_embedding
+from ..functions.hashing import spark_md5_int_sql
 from ..functions.vocab import TEST_ALIASES
 from .components import connected_components
 
@@ -98,6 +99,10 @@ def canonicalize(
     # table writes; this covers direct composition)
     mentions = mentions.persist()
     nodes = entity_nodes(mentions).persist()
+    # eagerly materialize once: the alias-edge build broadcasts two
+    # projections of `nodes` concurrently, and with a cold cache both
+    # broadcast subtrees race to recompute the full mention scan
+    nodes.count()
     edges = alias_edges(spark, nodes, aliases).withColumn("kind", F.lit("alias"))
     if use_embedding_edges:
         edges = edges.unionByName(
@@ -109,10 +114,26 @@ def canonicalize(
         nodes.join(comp.withColumnRenamed("node", "surface_norm"), on="surface_norm", how="left")
         .withColumn("canonical_id", F.coalesce(F.col("component"), F.col("surface_norm")))
         .drop("component")
+        # dictionary encoding: a deterministic 60-bit integer id per
+        # canonical entity. The predicate/triple stages run on these 8-byte
+        # ids instead of surface strings — at scale the string form exists
+        # only in this dictionary and in final presentation views (measured:
+        # the string path made triple materialization allocation/GC-bound
+        # and anti-scale on 32 cores)
+        .withColumn(
+            "entity_id", F.expr(spark_md5_int_sql("coalesce(canonical_id, surface_norm)"))
+        )
     )
-    linked = mentions.join(
-        F.broadcast(entities.select("surface_norm", "canonical_id")),
-        on="surface_norm",
-        how="left",
-    ).withColumn("canonical_id", F.coalesce(F.col("canonical_id"), F.col("surface_norm")))
+    linked = (
+        mentions.join(
+            F.broadcast(entities.select("surface_norm", "canonical_id", "entity_id")),
+            on="surface_norm",
+            how="left",
+        )
+        .withColumn("canonical_id", F.coalesce(F.col("canonical_id"), F.col("surface_norm")))
+        .withColumn(
+            "entity_id",
+            F.coalesce(F.col("entity_id"), F.expr(spark_md5_int_sql("surface_norm"))),
+        )
+    )
     return entities, edges, linked

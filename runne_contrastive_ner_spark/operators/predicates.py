@@ -44,10 +44,13 @@ def induce_predicates(mentions: DataFrame, k: int = 2, entity_col: str = "canoni
         .orderBy("turn_idx")
         .rangeBetween(-k, -1)
     )
+    # persist: both predicate branches (same-turn pairs and look-back pairs)
+    # read this compact per-turn table; without it each branch re-runs the
+    # groupBy + window (and everything upstream of the mentions table)
     turns = turns.withColumn(
         "prev_ents",
         F.array_distinct(F.flatten(F.coalesce(F.collect_list("ents").over(w), F.array()))),
-    )
+    ).persist()
 
     same_turn = (
         turns.select(
@@ -83,4 +86,8 @@ def induce_predicates(mentions: DataFrame, k: int = 2, entity_col: str = "canoni
     )
 
     cols = ["conv_id", "subj", "pred", "obj", "src_turn_idx"]
-    return same_turn.select(*cols).unionByName(follows.select(*cols)).distinct()
+    # no distinct needed: both branches explode per-turn SETS and carry the
+    # evidence turn in the row key, so every output row is unique by
+    # construction — a distinct here would shuffle the full triple set for
+    # nothing (removing it made the stage shuffle-free after the window)
+    return same_turn.select(*cols).unionByName(follows.select(*cols))

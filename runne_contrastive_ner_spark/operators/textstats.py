@@ -89,6 +89,27 @@ def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_ISH_RE = "[a-z0-9]+|[^a-z0-9 ]"
+
+
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (alnum runs + single non-space symbols)
+    — the pretokenizer-style count, distinct from whitespace tokens. The
+    pattern uses only character classes so Java and RE2 regex agree."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.size(F.expr(f"regexp_extract_all(text, '{BPE_ISH_RE}', 0)"))
+            .cast("bigint")
+            .alias("n_bpe_tokens"),
+            F.size(F.expr("filter(split(text, ' '), t -> t != '')"))
+            .cast("bigint")
+            .alias("n_ws_tokens"),
+        )
+    )
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial hash over the first 64 chars — the document
     fingerprint primitive (base 31, mod 1e9+7), a pure fold expressible in

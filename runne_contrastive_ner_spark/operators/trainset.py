@@ -1,0 +1,164 @@
+"""Training-prep operators (reference pipeline §3.2: prepare_trainset.py).
+
+``build_ner_trainset`` — the Spark re-expression of
+``build_trainset_for_ner`` (trainset_building.py:62-150): per document,
+sentenize with entity assignment (T9), tokenize (T3), per-type {0,1,2}
+indicators (T8), 5-class targets (M12), and long-sequence re-chunking (M13).
+One pandas UDF emits one row per (doc, sentence, chunk); labels are stored
+as compact class-id arrays (one per entity type) rather than one-hot — the
+one-hot expansion is a trivial view at training time, and class ids shrink
+shuffle volume 5x.
+
+``span_inventory`` — A4 (trainset_building.py:162-233): per-type span
+statistics over the mentions table.
+
+``siamese_pair_sample`` — J3 (trainset_building.py:243-279) re-expressed
+deterministically: the reference's sequential random.choice pair sampler is
+replaced by content-hash ranking (stratified per type, symmetric dedup by
+construction) so the sample is reproducible under any parallelism.
+
+``max_seq_len`` — A3 (trainset_building.py:72-86): corpus-wide max
+subtoken-sequence length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int, spark_md5_int_sql
+from ..functions.sentenize import sentenize_text
+from ..functions.tokenizer import tokenize_text
+from ..functions.trainset_kernel import (
+    assign_entities_to_sentences,
+    chunk_sequence,
+    classes_from_indicator,
+    indicator_for_type,
+)
+from ..functions.vocab import ENTITY_TYPES
+
+TRAINSET_SCHEMA = (
+    "id long, sent_idx int, chunk_idx int, pieces array<string>,"
+    " token_ids array<int>, labels array<array<int>>"
+)
+VOCAB_SIZE = 30522  # BERT-base-sized id space for the hash stand-in
+
+
+def build_ner_trainset(
+    docs: DataFrame,
+    entity_types: list[str] | None = None,
+    max_seq_len: int = 128,
+) -> DataFrame:
+    """docs(id, text, ners: array<struct<type,start,end>>) → trainset rows."""
+    entity_types = ENTITY_TYPES if entity_types is None else entity_types
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("id", "sent_idx", "chunk_idx", "pieces", "token_ids", "labels")}
+            for doc_id, text, ners in zip(pdf["id"], pdf["text"], pdf["ners"]):
+                # ners arrives as a numpy array of dicts from Arrow — no
+                # truthiness on arrays
+                span_list = [] if ners is None else list(ners)
+                spans = [(n["type"], int(n["start"]), int(n["end"])) for n in span_list]
+                bounds = sentenize_text(text or "")
+                per_sent = assign_entities_to_sentences(text or "", spans, bounds)
+                for s_idx, ((s0, s1), ents) in enumerate(zip(bounds, per_sent)):
+                    words, subtokens = tokenize_text(text[s0:s1])
+                    if not subtokens:
+                        continue
+                    pieces = [p for p, _, _ in subtokens]
+                    # md5-derived ids: Python's hash() is salted per process
+                    # and would make the trainset nondeterministic across
+                    # workers
+                    ids = [md5_int(p, 8) % VOCAB_SIZE for p in pieces]
+                    per_type_classes = []
+                    for etype in entity_types:
+                        t_spans = [(a, b) for t, a, b in ents if t == etype]
+                        ind = indicator_for_type(subtokens, t_spans)
+                        per_type_classes.append(classes_from_indicator(ind))
+                    piece_chunks = chunk_sequence(pieces, max_seq_len)
+                    id_chunks = chunk_sequence(ids, max_seq_len)
+                    label_chunks = [chunk_sequence(c, max_seq_len) for c in per_type_classes]
+                    for c_idx in range(len(piece_chunks)):
+                        rows["id"].append(int(doc_id))
+                        rows["sent_idx"].append(s_idx)
+                        rows["chunk_idx"].append(c_idx)
+                        rows["pieces"].append(piece_chunks[c_idx])
+                        rows["token_ids"].append(id_chunks[c_idx])
+                        rows["labels"].append([lc[c_idx] for lc in label_chunks])
+            yield pd.DataFrame(rows)
+
+    return docs.select("id", "text", "ners").mapInPandas(run, schema=TRAINSET_SCHEMA)
+
+
+def span_inventory(mentions: DataFrame) -> DataFrame:
+    """A4: per-type span statistics (count, distinct surfaces, length range)."""
+    return (
+        mentions.groupBy("type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.countDistinct("surface_norm").cast("bigint").alias("n_surfaces"),
+            F.min(F.col("end") - F.col("start")).cast("bigint").alias("min_len"),
+            F.max(F.col("end") - F.col("start")).cast("bigint").alias("max_len"),
+        )
+        .orderBy("type")
+    )
+
+
+def siamese_pair_sample(
+    mentions: DataFrame, per_type: int = 20, neg_keep_mod: int = 10, neg_keep: int = 3
+) -> DataFrame:
+    """J3, deterministic: take the ``per_type`` hash-ranked mentions per
+    type; all same-type pairs are positives (label 1); cross-type pairs are
+    kept when (key_a + key_b) % neg_keep_mod < neg_keep (≈30%, matching the
+    reference's P(same-type)=0.3 stratification intent). Symmetric dedup is
+    by construction (key_a < key_b or type_a < type_b)."""
+    keyed = mentions.withColumn(
+        "key",
+        F.expr(
+            spark_md5_int_sql(
+                "concat(conv_id, ':', cast(turn_idx as string), ':', type, ':',"
+                " cast(start as string))"
+            )
+        ),
+    )
+    w = Window.partitionBy("type").orderBy("key")
+    sel = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_type)
+        .select("type", "key")
+    )
+    a = sel.select(F.col("type").alias("type_a"), F.col("key").alias("key_a"))
+    b = sel.select(F.col("type").alias("type_b"), F.col("key").alias("key_b"))
+    pos = a.join(
+        b, (F.col("type_a") == F.col("type_b")) & (F.col("key_a") < F.col("key_b"))
+    ).withColumn("label", F.lit(1))
+    neg = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .filter((F.col("key_a") + F.col("key_b")) % neg_keep_mod < neg_keep)
+        .withColumn("label", F.lit(0))
+    )
+    cols = ["type_a", "key_a", "type_b", "key_b", "label"]
+    return pos.select(*cols).unionByName(neg.select(*cols))
+
+
+def max_seq_len_agg(transcripts: DataFrame) -> DataFrame:
+    """A3 over transcripts: max subtoken count per turn, where the
+    deterministic subtokenizer emits ceil(len(word)/4) pieces per word —
+    expressed as builtin SQL so the DuckDB oracle can verify the tokenizer's
+    accounting."""
+    n_sub = F.expr(
+        "aggregate(filter(split(text, ' '), t -> t != ''), 0L,"
+        " (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS BIGINT))"
+    )
+    return (
+        transcripts.select(n_sub.alias("n_subtokens"))
+        .agg(
+            F.max("n_subtokens").cast("bigint").alias("max_seq_len"),
+            F.round(F.avg("n_subtokens"), 4).alias("avg_seq_len"),
+        )
+    )

@@ -312,6 +312,14 @@ TEXTSTATS: dict[str, str] = {
         WHERE tok != ''
         GROUP BY source ORDER BY source
     """,
+    "ts_bpe_token_counts": """
+        SELECT doc_id::BIGINT AS doc_id,
+               len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]'))::BIGINT
+                 AS n_bpe_tokens,
+               len(list_filter(string_split(text, ' '), t -> t != ''))::BIGINT
+                 AS n_ws_tokens
+        FROM documents
+    """,
     "ts_doc_fingerprints": """
         SELECT doc_id::BIGINT AS doc_id,
                list_reduce(
@@ -403,6 +411,39 @@ entities AS (
 """.strip()
 
 
+MULTIMODAL: dict[str, str] = {
+    # media payloads are utf-8 bytes of documents.text; the stub decoder's
+    # features are the first 8 bytes / 255 — re-derivable from text in SQL
+    "mm_media_features": """
+        SELECT doc_id::BIGINT AS doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               strlen(text)::BIGINT AS n_bytes,
+               [CASE WHEN i <= length(text)
+                     THEN round(ascii(substr(text, i, 1)) / 255.0, 6)
+                     ELSE 0.0 END FOR i IN range(1, 9)] AS features
+        FROM documents
+    """,
+    "mm_frame_sample": """
+        WITH video AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+        frames AS (
+          SELECT doc_id, f.i AS frame_idx,
+                 least(16, strlen(text) - f.i * 16) AS frame_bytes,
+                 substr(text, f.i * 16 + 1, 16) AS chunk
+          FROM video,
+          UNNEST(range(0, least(4, greatest(1, strlen(text) // 16)))) AS f(i)
+        )
+        SELECT doc_id::BIGINT AS doc_id, frame_idx::INTEGER AS frame_idx,
+               frame_bytes::INTEGER AS frame_bytes,
+               (list_sum(list_prepend(0,
+                  [ascii(substr(chunk, i, 1)) FOR i IN range(1, length(chunk) + 1)]))
+                % 256)::INTEGER AS checksum
+        FROM frames
+    """,
+}
+
+TRAINSET: dict[str, str] = {}  # filled below (needs the KG mention CTE)
+
 KG: dict[str, str] = {
     "kg_mentions": f"""
 WITH RECURSIVE placeholder AS (SELECT 1),
@@ -446,4 +487,55 @@ SELECT DISTINCT * FROM (
   SELECT * FROM same_turn UNION ALL SELECT * FROM follows
 )
     """,
+    "kg_type_freqs": f"""
+WITH RECURSIVE placeholder AS (SELECT 1),
+{kg_common_ctes()[5:]}
+SELECT type, count(*)::BIGINT AS freq
+FROM mentions GROUP BY type ORDER BY freq DESC, type
+    """,
 }
+
+TRAINSET.update(
+    {
+        "tr_span_inventory": f"""
+WITH RECURSIVE placeholder AS (SELECT 1),
+{kg_common_ctes()[5:]}
+SELECT type, count(*)::BIGINT AS n_spans,
+       count(DISTINCT surface)::BIGINT AS n_surfaces,
+       min("end" - start)::BIGINT AS min_len,
+       max("end" - start)::BIGINT AS max_len
+FROM mentions GROUP BY type ORDER BY type
+        """,
+        "tr_siamese_pairs": f"""
+WITH RECURSIVE placeholder AS (SELECT 1),
+{kg_common_ctes()[5:]},
+keyed AS (
+  SELECT type,
+         ('0x' || substr(md5(conv_id || ':' || turn_idx || ':' || type || ':' || start),
+                         1, 15))::BIGINT AS key
+  FROM mentions
+),
+sel AS (
+  SELECT type, key FROM (
+    SELECT *, row_number() OVER (PARTITION BY type ORDER BY key) AS rn FROM keyed
+  ) WHERE rn <= 20
+)
+SELECT a.type AS type_a, a.key AS key_a, b.type AS type_b, b.key AS key_b,
+       1::INTEGER AS label
+FROM sel a JOIN sel b ON a.type = b.type AND a.key < b.key
+UNION ALL
+SELECT a.type, a.key, b.type, b.key, 0::INTEGER
+FROM sel a JOIN sel b ON a.type < b.type AND (a.key + b.key) % 10 < 3
+        """,
+        "tr_max_seq_len": f"""
+WITH transcripts AS ({DUCKDB_TRANSCRIPTS_SQL})
+SELECT max(n)::BIGINT AS max_seq_len, round(avg(n), 4)::DOUBLE AS avg_seq_len
+FROM (
+  SELECT list_sum(list_prepend(0::BIGINT,
+           [ceil(length(t) / 4.0)::BIGINT
+            FOR t IN list_filter(string_split(text, ' '), x -> x != '')])) AS n
+  FROM transcripts
+)
+        """,
+    }
+)

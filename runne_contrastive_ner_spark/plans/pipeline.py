@@ -95,13 +95,16 @@ def run_pipeline(
             linked = state["linked"]
         else:
             linked = mentions.join(
-                F.broadcast(entities.select("surface_norm", "canonical_id")),
+                F.broadcast(entities.select("surface_norm", "canonical_id", "entity_id")),
                 on="surface_norm",
                 how="left",
             ).withColumn(
                 "canonical_id", F.coalesce(F.col("canonical_id"), F.col("surface_norm"))
             )
-        return induce_predicates(linked, k=cfg.window_k)
+        # triples are materialized in normalized form — integer entity ids
+        # against the `entities` dictionary; the (subj, pred, obj) string
+        # view is a broadcast join away and exists for presentation only
+        return induce_predicates(linked, k=cfg.window_k, entity_col="entity_id")
 
     triples = runner.run(
         "triples",

@@ -40,7 +40,15 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM hosts every task; with 32 concurrent
+        # hash-aggregate tasks an 8g heap GC-thrashes (measured: the triple
+        # distinct stage anti-scaled 11.5s@8c -> 27.3s@32c) — size the heap
+        # for the thread count
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # throughput GC for batch workloads: measured 2.5x on the
+        # allocation-heavy triple stage vs default G1 (33.4s -> 13.4s at 32
+        # threads); latency is irrelevant for this engine
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )

@@ -64,8 +64,14 @@ class TestConnectedComponents:
         edges = spark.createDataFrame(
             [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], "src string, dst string"
         )
-        comp = {r.node: r.component for r in connected_components(edges).collect()}
-        assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+        expected = {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+        # driver union-find fast path and distributed hash-min must agree
+        fast = {r.node: r.component for r in connected_components(edges).collect()}
+        dist = {
+            r.node: r.component
+            for r in connected_components(edges, small_graph_edges=0).collect()
+        }
+        assert fast == expected and dist == expected
 
     def test_empty_edges(self, spark):
         edges = spark.createDataFrame([], "src string, dst string")

@@ -30,18 +30,28 @@ from runne_contrastive_ner_spark.operators.mentions import extract_mentions
 from runne_contrastive_ner_spark.operators.linking import canonicalize
 from runne_contrastive_ner_spark.operators.predicates import induce_predicates
 
-cores = int(sys.argv[1]); sf_dir = sys.argv[2]
+cores = int(sys.argv[1]); sf_dir = sys.argv[2]; replicate = int(sys.argv[3])
 spark = build_session(app_name=f"scale-{cores}", master=f"local[{cores}]",
                       shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
+from pyspark.sql import functions as F
 t = from_documents(spark, sf_dir)
+if replicate > 1:
+    # deterministic conversation replication: scales the input so the
+    # measured region is dominated by per-turn work, not fixed overhead.
+    # repartition the small base BEFORE the explode so row generation is
+    # parallel instead of a single-task serial head.
+    t = (t.repartition(cores * 2)
+           .select(F.explode(F.expr(f"sequence(0, {replicate - 1})")).alias("rep"), "*")
+           .withColumn("conv_id", F.concat_ws("-", "conv_id", F.col("rep").cast("string")))
+           .drop("rep"))
 n_turns = t.count()
 # warm-up: tiny slice initializes Python workers at both levels equally
 extract_mentions(t.limit(32)).count()
 t0 = time.time()
 mentions = extract_mentions(t, salt_partitions=cores * 4)
 _, _, linked = canonicalize(spark, mentions)
-n_triples = induce_predicates(linked, k=2).count()
+n_triples = induce_predicates(linked, k=2, entity_col="entity_id").count()
 wall = time.time() - t0
 print(json.dumps({"cores": cores, "n_turns": n_turns, "wall": wall,
                   "turns_per_sec": n_turns / wall, "n_triples": n_triples}))
@@ -49,9 +59,9 @@ spark.stop()
 """
 
 
-def run_level(cores: int, sf_dir: str) -> dict:
+def run_level(cores: int, sf_dir: str, replicate: int) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", CHILD % {"repo": REPO}, str(cores), sf_dir],
+        [sys.executable, "-c", CHILD % {"repo": REPO}, str(cores), sf_dir, str(replicate)],
         capture_output=True, text=True, timeout=1800,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
@@ -60,12 +70,18 @@ def run_level(cores: int, sf_dir: str) -> dict:
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # 100x replication (500k turns) puts the job in the regime where
+    # per-turn work dominates fixed scheduling overhead — the regime the
+    # 10^12-turn target actually lives in (at 40x the fixed ~17s of small
+    # stages capped measured efficiency at ~0.5)
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "100"))
     low, high = 8, 32
-    r_low = run_level(low, sf_dir)
-    r_high = run_level(high, sf_dir)
+    r_low = run_level(low, sf_dir, replicate)
+    r_high = run_level(high, sf_dir, replicate)
     eff = (r_high["turns_per_sec"] / r_low["turns_per_sec"]) / (high / low)
     result = {
         "sf": sf_dir,
+        "replicate": replicate,
         "n_turns": r_low["n_turns"],
         "n_triples": r_low["n_triples"],
         f"turns_per_sec_local[{low}]": round(r_low["turns_per_sec"], 2),
