@@ -96,14 +96,37 @@ def write_runne_jsonl(df: DataFrame, path: str, with_text: bool = True) -> None:
     """Sink in the reference file form: ids ascending, inclusive ends
     (io_utils.py:89-103). Single output ordering is only meaningful for
     modest outputs; large jobs keep the partitioned form."""
-    file_spans = F.expr(
-        "transform(ners, x -> array(cast(x.start as string),"
-        " cast(x.end - 1 as string), x.type))"
+    # the reference file form is a heterogeneous JSON array
+    # [start:int, end_incl:int, "TYPE"] (io_utils.py:99-102) which to_json
+    # cannot emit from a struct — build the ners fragment textually and
+    # splice it into the JSON of the homogeneous columns
+    ners_json = F.expr(
+        """
+        concat('[', concat_ws(',', transform(
+          array_sort(ners, (a, b) ->
+            CASE WHEN a.start < b.start THEN -1 WHEN a.start > b.start THEN 1
+                 WHEN a.end   < b.end   THEN -1 WHEN a.end   > b.end   THEN 1
+                 WHEN a.type  < b.type  THEN -1 WHEN a.type  > b.type  THEN 1
+                 ELSE 0 END),
+          x -> concat('[', cast(x.start as string), ',', cast(x.end - 1 as string),
+                      ',"', x.type, '"]'))), ']')
+        """
     )
-    cols = [F.col("id"), file_spans.alias("ners")]
+    cols = [F.col("id")]
     if with_text:
-        cols.insert(1, F.col("text").alias("sentences"))
-    out = df.select(*cols).orderBy("id")
-    out.select(F.to_json(F.struct(*[c for c in out.columns])).alias("value")).coalesce(
-        1
-    ).write.mode("overwrite").text(path)
+        cols.append(F.col("text").alias("sentences"))
+    base = (
+        df.select(*cols, ners_json.alias("_ners_json"))
+        .orderBy("id")
+        .withColumn(
+            "_head",
+            F.to_json(F.struct(*[c for c in (["id", "sentences"] if with_text else ["id"])])),
+        )
+    )
+    line = F.concat(
+        F.expr("substring(_head, 1, length(_head) - 1)"),
+        F.lit(',"ners":'),
+        F.col("_ners_json"),
+        F.lit("}"),
+    )
+    base.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(path)
