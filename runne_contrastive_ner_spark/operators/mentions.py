@@ -43,7 +43,7 @@ from ..functions.decode import (
     spans_from_states,  # noqa: F401  (re-exported for tests)
     subtoken_spans_to_char_spans,
 )
-from ..functions.scorer import GazetteerScorer, Scorer, score_windows
+from ..functions.scorer import GazetteerScorer, Scorer, score_windows_active
 from ..functions.sentenize import sentenize_text
 from ..functions.textnorm import normalize_surface
 from ..functions.tokenizer import tokenize_text
@@ -68,14 +68,16 @@ def detect_mentions_in_text(text: str, scorer: Scorer) -> list[tuple[str, int, i
             continue
         pieces = [p for p, _, _ in subtokens]
         bounds = [(b0, b1) for _, b0, b1 in subtokens]
-        logits = score_windows(scorer, pieces)
-        proba_all = softmax(logits, axis=-1)
-        for t_idx, etype in enumerate(scorer.entity_types):
-            proba = proba_all[t_idx]
-            # provable all-O fast path (see module docstring)
+        # sparse scoring: only type planes with evidence are materialized;
+        # absent planes are the all-O default, which provably decodes to
+        # all-O (see Scorer.score_pieces_active) — the exact fast path
+        active = score_windows_active(scorer, pieces)
+        for t_idx, logits in active.items():
+            proba = softmax(logits, axis=-1)
             if np.all(proba[:, O] / 3.0 > proba[:, 1:].max(axis=1)):
                 continue
             spans = decode_entity_spans(proba, words)
+            etype = scorer.entity_types[t_idx]
             for c0, c1 in subtoken_spans_to_char_spans(spans, bounds):
                 out.append((etype, s_start + c0, s_start + c1))
     return out

@@ -73,6 +73,34 @@ def incremental_mentions(
     return spark.read.parquet(out_path)
 
 
+def streaming_mentions(
+    spark: SparkSession,
+    transcripts_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """readStream over a transcripts parquet directory → mention detection →
+    parquet append sink via foreachBatch. The mention UDF is stateless
+    per-row, so the batch operator is reused unchanged; the checkpoint
+    directory gives exactly-once file-source progress (the streaming
+    ingestion mode for continuously-arriving conversation logs)."""
+    schema = spark.read.parquet(transcripts_dir).schema
+
+    def process(batch_df, batch_id: int) -> None:
+        extract_mentions(batch_df).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(out_dir)
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(transcripts_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_event_counts(
     spark: SparkSession,
     events_dir: str,

@@ -12,6 +12,7 @@ from runne_contrastive_ner_spark.streaming.incremental import (
     _load_ledger,
     incremental_mentions,
     streaming_event_counts,
+    streaming_mentions,
 )
 
 
@@ -45,3 +46,41 @@ class TestStreaming:
             q.stop()
         batch = spark.read.parquet(f"{sf_dir}/events.parquet").count()
         assert streamed == batch
+
+    def test_streaming_mentions_match_batch(self, spark, tmp_path):
+        t = synthesize(spark, n_convs=4, turns_per_conv=6, long_conv_turns=0)
+        tdir = str(tmp_path / "transcripts")
+        t.write.parquet(tdir)
+        out = str(tmp_path / "mentions_out")
+        q = streaming_mentions(spark, tdir, out, str(tmp_path / "ck"))
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        streamed = spark.read.parquet(out)
+        assert streamed.count() == extract_mentions(t).count()
+        assert "batch_id" in streamed.columns
+
+
+class TestSkewBalance:
+    def test_salted_repartition_spreads_long_conversation(self, spark):
+        """One conversation 10x longer than the rest must not pin a single
+        task: with salting on (conv_id, turn_idx) the max partition holds a
+        bounded share of rows (the skew guard from SURVEY.md §7.2)."""
+        from pyspark.sql import functions as F2
+
+        t = synthesize(spark, n_convs=4, turns_per_conv=10, long_conv_turns=400)
+        salted = t.select("conv_id", "turn_idx", "text").repartition(
+            8, F2.col("conv_id"), F2.col("turn_idx")
+        )
+        sizes = (
+            salted.withColumn("pid", F2.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        total = sum(r["count"] for r in sizes)
+        biggest = max(r["count"] for r in sizes)
+        # unsalted, the long conversation (400 of 440 rows) would land in one
+        # partition; salted, no partition may hold even half the rows
+        assert biggest < total / 2
