@@ -112,6 +112,32 @@ def tr_ner_trainset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.build_ner_trainset(docs)
 
 
+def kg_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+J5 at graph scale: connected components over the embedding-cosine
+    similarity graph (the contrastive-linking edge source, M9/M10), labels
+    verified against a recursive-CTE transitive closure. Nodes are
+    zero-padded ids so lexicographic min == numeric min on both sides."""
+    from runne_contrastive_ner_spark.operators.components import connected_components
+    from runne_contrastive_ner_spark.operators.dedup import embedding_neardup_pairs
+
+    edges = embedding_neardup_pairs(spark, sf_dir, threshold=0.3).select(
+        F.lpad(F.col("vec_a").cast("string"), 8, "0").alias("src"),
+        F.lpad(F.col("vec_b").cast("string"), 8, "0").alias("dst"),
+    )
+    comp = connected_components(edges)
+    all_nodes = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.lpad(F.col("vec_id").cast("string"), 8, "0").alias("node"))
+    )
+    return (
+        all_nodes.join(comp, on="node", how="left")
+        .select(
+            F.col("node").cast("bigint").alias("vec_id"),
+            F.coalesce("component", "node").cast("bigint").alias("component"),
+        )
+    )
+
+
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.media_features(mm.synthesize_media(spark, sf_dir))
 
@@ -135,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": kg_edges,  # rows-only: engine-internal edge list
         "kg_triples": kg_triples,
         "kg_type_freqs": kg_type_freqs,
+        "kg_embedding_components": kg_embedding_components,
         # training-prep family (SURVEY.md §3.2: T8/T9, M11-M13, A3/A4, J3)
         "tr_span_inventory": tr_span_inventory,
         "tr_siamese_pairs": tr_siamese_pairs,

@@ -487,6 +487,27 @@ SELECT DISTINCT * FROM (
   SELECT * FROM same_turn UNION ALL SELECT * FROM follows
 )
     """,
+    "kg_embedding_components": """
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_sum([a.v[d] * b.v[d] FOR d IN range(1, 65)])
+        / (sqrt(list_sum([a.v[d] * a.v[d] FOR d IN range(1, 65)]))
+           * sqrt(list_sum([b.v[d] * b.v[d] FOR d IN range(1, 65)]))) >= 0.3
+),
+edges AS (SELECT va AS src, vb AS dst FROM pairs
+          UNION SELECT vb, va FROM pairs),
+reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT e2.src, r.r FROM edges e2 JOIN reach r ON r.node = e2.dst
+),
+canon AS (SELECT node, least(min(r), node) AS component FROM reach GROUP BY node)
+SELECT em.vec_id::BIGINT AS vec_id,
+       coalesce(c.component, em.vec_id)::BIGINT AS component
+FROM embeddings em LEFT JOIN canon c ON c.node = em.vec_id
+    """,
     "kg_type_freqs": f"""
 WITH RECURSIVE placeholder AS (SELECT 1),
 {kg_common_ctes()[5:]}

@@ -139,6 +139,55 @@ class TestPipeline:
         res3 = run_pipeline(spark, transcripts, cfg, input_fp="t2")
         assert res3.metrics["mentions"]["wall_sec"] != res1.metrics["mentions"]["wall_sec"]
 
+    def test_normalized_triples_match_string_view(self, spark, transcripts, tmp_path):
+        """The pipeline materializes triples with integer entity ids against
+        the entities dictionary; joining back to canonical strings must
+        reproduce exactly the string-path triples."""
+        cfg = PipelineConfig(warehouse=str(tmp_path / "whv"))
+        res = run_pipeline(spark, transcripts, cfg, input_fp="view")
+        dic = res.entities.select("entity_id", "canonical_id").distinct()
+        via_view = {
+            (r.conv_id, r.subj, r.pred, r.obj, r.src_turn_idx)
+            for r in res.triples.join(
+                dic.withColumnRenamed("entity_id", "subj").withColumnRenamed(
+                    "canonical_id", "subj_name"
+                ),
+                on="subj",
+            )
+            .join(
+                dic.withColumnRenamed("entity_id", "obj").withColumnRenamed(
+                    "canonical_id", "obj_name"
+                ),
+                on="obj",
+            )
+            .select(
+                "conv_id",
+                F.col("subj_name").alias("subj"),
+                "pred",
+                F.col("obj_name").alias("obj"),
+                "src_turn_idx",
+            )
+            .collect()
+        }
+        from runne_contrastive_ner_spark.operators.linking import canonicalize as _canon
+
+        mentions = extract_mentions(transcripts)
+        _, _, linked = _canon(spark, mentions)
+        direct = {
+            (r.conv_id, r.subj, r.pred, r.obj, r.src_turn_idx)
+            for r in induce_predicates(linked, k=2).collect()
+        }
+
+        def norm(triples):
+            # co_occurs_with pairs are unordered; the int path orders them by
+            # entity_id, the string path lexicographically — normalize
+            return {
+                (c, *sorted((s, o)), p, t) if p == "co_occurs_with" else (c, s, p, o, t)
+                for c, s, p, o, t in triples
+            }
+
+        assert norm(via_view) == norm(direct)
+
     def test_lineage_recorded(self, spark, transcripts, tmp_path):
         cfg = PipelineConfig(warehouse=str(tmp_path / "wh2"))
         res = run_pipeline(spark, transcripts, cfg, input_fp="x")
