@@ -112,6 +112,47 @@ def tr_ner_trainset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.build_ner_trainset(docs)
 
 
+def kg_mention_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (neural_network/utils.py:143-180 semantics): per-type span-level
+    precision/recall between a prediction mention set and a gold mention set
+    — tp/fp/fn via full outer join on exact (conv, turn, type, start, end)."""
+    from runne_contrastive_ner_spark.functions.vocab import EVAL_GOLD_GAZETTEER
+
+    t = from_documents(spark, sf_dir)
+    pred = extract_mentions(t).select("conv_id", "turn_idx", "type", "start", "end")
+    gold = extract_mentions(t, gazetteer=EVAL_GOLD_GAZETTEER).select(
+        "conv_id", "turn_idx", "type", "start", "end"
+    )
+    joined = pred.withColumn("p", F.lit(1)).join(
+        gold.withColumn("g", F.lit(1)),
+        ["conv_id", "turn_idx", "type", "start", "end"],
+        "full_outer",
+    )
+    per_type = joined.groupBy("type").agg(
+        F.sum(F.when(F.col("p").isNotNull() & F.col("g").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(F.col("p").isNotNull() & F.col("g").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(F.col("p").isNull() & F.col("g").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    return per_type.select(
+        "type",
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)), 6).alias(
+            "precision"
+        ),
+        F.round(F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)), 6).alias(
+            "recall"
+        ),
+    ).orderBy("type")
+
+
 def kg_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4+J5 at graph scale: connected components over the embedding-cosine
     similarity graph (the contrastive-linking edge source, M9/M10), labels
@@ -162,6 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": kg_triples,
         "kg_type_freqs": kg_type_freqs,
         "kg_embedding_components": kg_embedding_components,
+        "kg_mention_eval": kg_mention_eval,
         # training-prep family (SURVEY.md §3.2: T8/T9, M11-M13, A3/A4, J3)
         "tr_span_inventory": tr_span_inventory,
         "tr_siamese_pairs": tr_siamese_pairs,
@@ -189,6 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_signatures": dd.minhash_signatures,
         "dd_minhash_lsh_candidates": dd.minhash_lsh_candidates,
         "dd_simhash_values": dd.simhash_values,
+        "dd_simhash_near_pairs": dd.simhash_near_pairs,
         "dd_embedding_neardup_pairs": dd.embedding_neardup_pairs,
         # similarity search
         "sim_ann_bruteforce_topk": sim.ann_bruteforce_topk,

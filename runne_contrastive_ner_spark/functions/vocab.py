@@ -59,6 +59,14 @@ TEST_GAZETTEER: dict[str, str] = {
     "fast table": "LOCATION",
 }
 
+# evaluation "gold" gazetteer (A5 metric fixtures): differs from the
+# prediction gazetteer in both directions — two prediction-only surfaces
+# (false positives) and one gold-only surface (false negatives)
+EVAL_GOLD_GAZETTEER: dict[str, str] = {
+    s: t for s, t in TEST_GAZETTEER.items() if s not in ("key", "fast table")
+}
+EVAL_GOLD_GAZETTEER["filter"] = "LANGUAGE"
+
 # undirected same-entity equivalences (canonicalization input); the
 # spark~vector~merge chain requires ≥2 hash-min iterations to converge
 TEST_ALIASES: list[tuple[str, str]] = [

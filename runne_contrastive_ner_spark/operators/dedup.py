@@ -179,6 +179,22 @@ def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 6) -> DataFrame:
+    """SimHash near-duplicate pairs: hamming distance (bit_count of xor)
+    within ``max_hamming`` over the 32-bit signatures. All-pairs is the
+    correctness baseline at this table size; the scale path blocks on
+    signature bytes (e.g. join on any equal 8-bit band) before comparing."""
+    sig = simhash_values(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
     """Embedding-cosine near-duplicates: all-pairs over the (small)
     embeddings table with double math matching the oracle term-for-term.

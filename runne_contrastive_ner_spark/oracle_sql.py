@@ -13,7 +13,7 @@ tokenize→score→decode→CC pipeline.
 
 from __future__ import annotations
 
-from .functions.vocab import TEST_ALIASES, TEST_GAZETTEER
+from .functions.vocab import EVAL_GOLD_GAZETTEER, TEST_ALIASES, TEST_GAZETTEER
 from .sources.transcripts import DUCKDB_TRANSCRIPTS_SQL
 
 # ---------------------------------------------------------------------------
@@ -219,6 +219,30 @@ DEDUP: dict[str, str] = {
                sum(CASE WHEN v >= 0 THEN power(2, b)::BIGINT ELSE 0 END)::BIGINT AS simhash
         FROM bits GROUP BY doc_id
     """,
+    "dd_simhash_near_pairs": """
+        WITH tok AS (
+          SELECT doc_id, tok, count(*) AS cnt
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE tok != '' GROUP BY doc_id, tok
+        ),
+        hashed AS (SELECT *, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+        bits AS (
+          SELECT doc_id, b,
+                 sum((2 * ((floor(h / power(2, b))::BIGINT) % 2) - 1) * cnt) AS v
+          FROM hashed, unnest(range(0, 32)) AS u(b)
+          GROUP BY doc_id, b
+        ),
+        sig AS (
+          SELECT doc_id,
+                 sum(CASE WHEN v >= 0 THEN power(2, b)::BIGINT ELSE 0 END)::BIGINT
+                   AS simhash
+          FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+               bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
     "dd_embedding_neardup_pairs": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         pairs AS (
@@ -336,14 +360,54 @@ TEXTSTATS: dict[str, str] = {
 # ---------------------------------------------------------------------------
 
 
-def _terms_values() -> str:
+def _terms_values(gazetteer: dict[str, str] | None = None) -> str:
+    gazetteer = TEST_GAZETTEER if gazetteer is None else gazetteer
     return ", ".join(
-        f"('{surface}', '{etype}')" for surface, etype in sorted(TEST_GAZETTEER.items())
+        f"('{surface}', '{etype}')" for surface, etype in sorted(gazetteer.items())
     )
 
 
 def _alias_values() -> str:
     return ", ".join(f"('{a}', '{b}')" for a, b in TEST_ALIASES)
+
+
+def mention_ctes(prefix: str, gazetteer: dict[str, str] | None = None) -> str:
+    """Standalone mention CTE chain (no WITH keyword) with prefixed names,
+    so two gazetteers' mention sets can coexist in one query (the A5
+    evaluation oracle)."""
+    return f"""
+{prefix}terms(term, type) AS (VALUES {_terms_values(gazetteer)}),
+{prefix}raw_matches AS (
+  SELECT t.conv_id, t.turn_idx, g.type, u.i - 1 AS m_start,
+         u.i - 1 + length(g.term) AS m_end, t.text
+  FROM transcripts t
+  CROSS JOIN {prefix}terms g,
+  UNNEST(range(1, length(t.text) - length(g.term) + 2)) AS u(i)
+  WHERE substr(t.text, u.i, length(g.term)) = g.term
+    AND (u.i = 1 OR NOT regexp_matches(substr(t.text, u.i - 1, 1), '[a-z0-9]'))
+    AND (u.i + length(g.term) > length(t.text)
+         OR NOT regexp_matches(substr(t.text, u.i + length(g.term), 1), '[a-z0-9]'))
+),
+{prefix}flagged AS (
+  SELECT *, CASE WHEN lag(m_end) OVER w IS NULL THEN 1
+                 WHEN trim(substr(text, lag(m_end) OVER w + 1,
+                                  m_start - lag(m_end) OVER w)) = '' THEN 0
+                 ELSE 1 END AS new_island
+  FROM {prefix}raw_matches
+  WINDOW w AS (PARTITION BY conv_id, turn_idx, type ORDER BY m_start)
+),
+{prefix}islands AS (
+  SELECT *, sum(new_island) OVER (PARTITION BY conv_id, turn_idx, type
+                                  ORDER BY m_start) AS island
+  FROM {prefix}flagged
+),
+{prefix}mentions AS (
+  SELECT conv_id, turn_idx, type,
+         min(m_start)::INTEGER AS start, max(m_end)::INTEGER AS "end"
+  FROM {prefix}islands
+  GROUP BY conv_id, turn_idx, type, island
+)
+""".strip()
 
 
 def kg_common_ctes() -> str:
@@ -507,6 +571,26 @@ canon AS (SELECT node, least(min(r), node) AS component FROM reach GROUP BY node
 SELECT em.vec_id::BIGINT AS vec_id,
        coalesce(c.component, em.vec_id)::BIGINT AS component
 FROM embeddings em LEFT JOIN canon c ON c.node = em.vec_id
+    """,
+    "kg_mention_eval": f"""
+WITH transcripts AS ({DUCKDB_TRANSCRIPTS_SQL}),
+{mention_ctes("p_")},
+{mention_ctes("g_", EVAL_GOLD_GAZETTEER)},
+joined AS (
+  SELECT coalesce(p.type, g.type) AS type,
+         CASE WHEN p.type IS NOT NULL AND g.type IS NOT NULL THEN 1 ELSE 0 END AS is_tp,
+         CASE WHEN p.type IS NOT NULL AND g.type IS NULL THEN 1 ELSE 0 END AS is_fp,
+         CASE WHEN p.type IS NULL AND g.type IS NOT NULL THEN 1 ELSE 0 END AS is_fn
+  FROM p_mentions p
+  FULL OUTER JOIN g_mentions g
+    ON p.conv_id = g.conv_id AND p.turn_idx = g.turn_idx AND p.type = g.type
+   AND p.start = g.start AND p."end" = g."end"
+)
+SELECT type, sum(is_tp)::BIGINT AS tp, sum(is_fp)::BIGINT AS fp,
+       sum(is_fn)::BIGINT AS fn,
+       round(sum(is_tp) / greatest(sum(is_tp) + sum(is_fp), 1), 6)::DOUBLE AS precision,
+       round(sum(is_tp) / greatest(sum(is_tp) + sum(is_fn), 1), 6)::DOUBLE AS recall
+FROM joined GROUP BY type ORDER BY type
     """,
     "kg_type_freqs": f"""
 WITH RECURSIVE placeholder AS (SELECT 1),
