@@ -82,9 +82,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.1
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    # NOTE: no broadcast hint — `sizes` is one row per document, which at
+    # corpus scale is NOT a broadcastable dimension; AQE picks the strategy
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select(

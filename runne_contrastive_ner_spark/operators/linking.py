@@ -124,9 +124,12 @@ def canonicalize(
             "entity_id", F.expr(spark_md5_int_sql("coalesce(canonical_id, surface_norm)"))
         )
     )
+    # no explicit broadcast: the entity dictionary is small here but can be
+    # 10^7+ rows at corpus scale — AQE broadcasts it when it fits and falls
+    # back to a shuffled join when it doesn't
     linked = (
         mentions.join(
-            F.broadcast(entities.select("surface_norm", "canonical_id", "entity_id")),
+            entities.select("surface_norm", "canonical_id", "entity_id"),
             on="surface_norm",
             how="left",
         )

@@ -95,7 +95,7 @@ def run_pipeline(
             linked = state["linked"]
         else:
             linked = mentions.join(
-                F.broadcast(entities.select("surface_norm", "canonical_id", "entity_id")),
+                entities.select("surface_norm", "canonical_id", "entity_id"),
                 on="surface_norm",
                 how="left",
             ).withColumn(

@@ -65,12 +65,17 @@ def incremental_mentions(
         if b in done:
             continue
         part = bucketed.filter(F.col("bucket") == b).drop("bucket")
-        extract_mentions(part).write.mode("append").parquet(out_path)
+        # each bucket writes its own overwritten subdirectory: a crash
+        # between the write and the ledger update re-OVERWRITES the same
+        # bucket on resume instead of double-appending (idempotent unit)
+        extract_mentions(part).write.mode("overwrite").parquet(
+            os.path.join(out_path, f"bucket={b}")
+        )
         done.add(b)
         _save_ledger(warehouse, done)
         if fail_after_bucket is not None and b >= fail_after_bucket:
             raise RuntimeError(f"injected failure after bucket {b}")
-    return spark.read.parquet(out_path)
+    return spark.read.parquet(os.path.join(out_path, "bucket=*"))
 
 
 def streaming_mentions(
