@@ -30,8 +30,9 @@ ZWSP = "​"
 SUBTOKEN_WIDTH = 4
 
 # a "word" is a run of letters/digits (any script, underscores excluded);
-# any other non-space char is a single-char token
-_WORD_RE = re.compile(r"[^\W_]+|[^\s\w]", re.UNICODE)
+# any other non-space char — including '_', which neither class covers —
+# is a single-char token
+_WORD_RE = re.compile(r"[^\W_]+|[^\s\w]|_", re.UNICODE)
 
 Word = tuple[str, int, int]
 Subtoken = tuple[str, int, int]

@@ -11,7 +11,10 @@ fixpoint operator, so this is the one imperative driver loop in the engine
 
 Implementation notes for scale:
 * edges are symmetrized once; each iteration is one shuffle
-  (join + groupBy min) — O(log d) iterations for graph diameter d;
+  (join + groupBy min) — plain min-propagation needs O(d) iterations for
+  graph diameter d (a large-star/small-star variant would give O(log d);
+  entity-alias graphs are shallow, so simplicity wins here), and
+  non-convergence within max_iter raises instead of returning partial labels;
 * ``localCheckpoint`` every iteration truncates the lineage chain, which
   otherwise grows quadratically and overwhelms the optimizer;
 * convergence test is an aggregate count of changed labels (cheap, reuses
@@ -88,6 +91,7 @@ def connected_components(
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint(eager=True)
 
+    converged = False
     for _ in range(max_iter):
         # candidate label for each node: min over its neighbors' labels
         neighbor_min = (
@@ -112,5 +116,13 @@ def connected_components(
         n_changed = updated.agg(F.sum("changed")).collect()[0][0] or 0
         labels = updated.drop("changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        # plain min-label propagation needs O(component diameter) rounds;
+        # returning partial labels would silently split entities
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} iterations"
+            " — raise max_iter (graph diameter exceeds it)"
+        )
     return labels

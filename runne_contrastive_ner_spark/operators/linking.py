@@ -52,9 +52,13 @@ def alias_edges(spark: SparkSession, nodes: DataFrame, aliases: list[tuple[str, 
     aliases = TEST_ALIASES if aliases is None else aliases
     alias_df = spark.createDataFrame(aliases, "src string, dst string")
     surf = nodes.select(F.col("surface_norm"))
+    # broadcast the ALIAS side: the surface dictionary is the unbounded side
+    # (10^7+ at corpus scale); the curated alias list is the small dimension
+    endpoint_ok = surf.join(
+        F.broadcast(alias_df), surf.surface_norm == alias_df.src, "inner"
+    ).select("src", "dst")
     return (
-        alias_df.join(F.broadcast(surf.withColumnRenamed("surface_norm", "src")), on="src")
-        .join(F.broadcast(surf.withColumnRenamed("surface_norm", "dst")), on="dst")
+        surf.join(F.broadcast(endpoint_ok), surf.surface_norm == endpoint_ok.dst, "inner")
         .select("src", "dst")
     )
 
@@ -97,6 +101,10 @@ def canonicalize(
     # nodes, edges, AND the final linked join — persist so downstream actions
     # compute it once (the staged pipeline gets the same effect from its
     # table writes; this covers direct composition)
+    # NOTE: these persists live for the session (LRU-evicted under pressure);
+    # callers composing many independent canonicalize() lineages in one
+    # session accumulate cached copies — the staged pipeline avoids this by
+    # materializing to tables instead
     mentions = mentions.persist()
     nodes = entity_nodes(mentions).persist()
     # eagerly materialize once: the alias-edge build broadcasts two

@@ -148,12 +148,17 @@ def siamese_pair_sample(
 
 def max_seq_len_agg(transcripts: DataFrame) -> DataFrame:
     """A3 over transcripts: max subtoken count per turn, where the
-    deterministic subtokenizer emits ceil(len(word)/4) pieces per word —
-    expressed as builtin SQL so the DuckDB oracle can verify the tokenizer's
-    accounting."""
+    deterministic subtokenizer emits ceil(len(token)/4) pieces per token and
+    tokens follow the engine tokenizer's regex (word runs OR single
+    punctuation chars) — expressed as builtin SQL so the DuckDB oracle can
+    verify the tokenizer's accounting, punctuation included. (Residual
+    caveat: SQL \\w is ASCII in both engines while the Python tokenizer is
+    Unicode-aware; identical on ASCII corpora.)"""
     n_sub = F.expr(
-        "aggregate(filter(split(text, ' '), t -> t != ''), 0L,"
-        " (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS BIGINT))"
+        r"""
+        aggregate(regexp_extract_all(text, '[^\\W_]+|[^\\s\\w]|_', 0), 0L,
+                  (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS BIGINT))
+        """
     )
     return (
         transcripts.select(n_sub.alias("n_subtokens"))

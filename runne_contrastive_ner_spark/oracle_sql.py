@@ -383,10 +383,10 @@ def mention_ctes(prefix: str, gazetteer: dict[str, str] | None = None) -> str:
   FROM transcripts t
   CROSS JOIN {prefix}terms g,
   UNNEST(range(1, length(t.text) - length(g.term) + 2)) AS u(i)
-  WHERE substr(t.text, u.i, length(g.term)) = g.term
-    AND (u.i = 1 OR NOT regexp_matches(substr(t.text, u.i - 1, 1), '[a-z0-9]'))
+  WHERE substr(lower(t.text), u.i, length(g.term)) = g.term
+    AND (u.i = 1 OR NOT regexp_matches(substr(lower(t.text), u.i - 1, 1), '[a-z0-9]'))
     AND (u.i + length(g.term) > length(t.text)
-         OR NOT regexp_matches(substr(t.text, u.i + length(g.term), 1), '[a-z0-9]'))
+         OR NOT regexp_matches(substr(lower(t.text), u.i + length(g.term), 1), '[a-z0-9]'))
 ),
 {prefix}flagged AS (
   SELECT *, CASE WHEN lag(m_end) OVER w IS NULL THEN 1
@@ -424,10 +424,10 @@ raw_matches AS (
   FROM transcripts t
   CROSS JOIN terms g,
   UNNEST(range(1, length(t.text) - length(g.term) + 2)) AS u(i)
-  WHERE substr(t.text, u.i, length(g.term)) = g.term
-    AND (u.i = 1 OR NOT regexp_matches(substr(t.text, u.i - 1, 1), '[a-z0-9]'))
+  WHERE substr(lower(t.text), u.i, length(g.term)) = g.term
+    AND (u.i = 1 OR NOT regexp_matches(substr(lower(t.text), u.i - 1, 1), '[a-z0-9]'))
     AND (u.i + length(g.term) > length(t.text)
-         OR NOT regexp_matches(substr(t.text, u.i + length(g.term), 1), '[a-z0-9]'))
+         OR NOT regexp_matches(substr(lower(t.text), u.i + length(g.term), 1), '[a-z0-9]'))
 ),
 flagged AS (
   SELECT *, CASE WHEN lag(m_end) OVER w IS NULL THEN 1
@@ -445,11 +445,13 @@ islands AS (
 mentions AS (
   SELECT conv_id, turn_idx, type,
          min(m_start)::INTEGER AS start, max(m_end)::INTEGER AS "end",
-         substr(any_value(text), min(m_start) + 1, max(m_end) - min(m_start)) AS surface
+         substr(any_value(text), min(m_start) + 1, max(m_end) - min(m_start)) AS surface,
+         lower(substr(any_value(text), min(m_start) + 1, max(m_end) - min(m_start)))
+           AS surface_norm
   FROM islands
   GROUP BY conv_id, turn_idx, type, island
 ),
-surfaces AS (SELECT DISTINCT surface AS surface_norm FROM mentions),
+surfaces AS (SELECT DISTINCT surface_norm FROM mentions),
 alias_pairs(a, b) AS (VALUES {_alias_values()}),
 edges AS (
   SELECT p.a AS src, p.b AS dst FROM alias_pairs p
@@ -512,16 +514,16 @@ KG: dict[str, str] = {
     "kg_mentions": f"""
 WITH RECURSIVE placeholder AS (SELECT 1),
 {kg_common_ctes()[5:]}
-SELECT conv_id, turn_idx, type, start, "end", surface, surface AS surface_norm
+SELECT conv_id, turn_idx, type, start, "end", surface, surface_norm
 FROM mentions
     """,
     "kg_entities": f"""
 WITH RECURSIVE placeholder AS (SELECT 1),
 {kg_common_ctes()[5:]},
 stats AS (
-  SELECT m.surface AS surface_norm, count(*)::BIGINT AS n_mentions,
+  SELECT m.surface_norm, count(*)::BIGINT AS n_mentions,
          array_to_string(list_sort(list(DISTINCT m.type)), ',') AS types
-  FROM mentions m GROUP BY m.surface
+  FROM mentions m GROUP BY m.surface_norm
 )
 SELECT e.canonical_id, e.surface_norm, s.n_mentions, s.types
 FROM entities e JOIN stats s USING (surface_norm)
@@ -531,7 +533,7 @@ WITH RECURSIVE placeholder AS (SELECT 1),
 {kg_common_ctes()[5:]},
 turn_ents AS (
   SELECT DISTINCT m.conv_id, m.turn_idx, e.canonical_id
-  FROM mentions m JOIN entities e ON e.surface_norm = m.surface
+  FROM mentions m JOIN entities e ON e.surface_norm = m.surface_norm
 ),
 same_turn AS (
   SELECT a.conv_id, a.canonical_id AS subj, 'co_occurs_with' AS pred,
@@ -606,7 +608,7 @@ TRAINSET.update(
 WITH RECURSIVE placeholder AS (SELECT 1),
 {kg_common_ctes()[5:]}
 SELECT type, count(*)::BIGINT AS n_spans,
-       count(DISTINCT surface)::BIGINT AS n_surfaces,
+       count(DISTINCT surface_norm)::BIGINT AS n_surfaces,
        min("end" - start)::BIGINT AS min_len,
        max("end" - start)::BIGINT AS max_len
 FROM mentions GROUP BY type ORDER BY type
@@ -638,7 +640,7 @@ SELECT max(n)::BIGINT AS max_seq_len, round(avg(n), 4)::DOUBLE AS avg_seq_len
 FROM (
   SELECT list_sum(list_prepend(0::BIGINT,
            [ceil(length(t) / 4.0)::BIGINT
-            FOR t IN list_filter(string_split(text, ' '), x -> x != '')])) AS n
+            FOR t IN regexp_extract_all(text, '[^\\W_]+|[^\\s\\w]|_')])) AS n
   FROM transcripts
 )
         """,

@@ -75,8 +75,8 @@ def read_runne_jsonl(spark: SparkSession, path: str, strict: bool = True) -> Dat
             """
             size(filter(ners, x ->
                  x.start < 0 OR x.end <= x.start OR x.end > length(text)
-                 OR substring(text, x.start + 1, 1) = ' '
-                 OR substring(text, x.end, 1) = ' '))
+                 OR substring(text, x.start + 1, 1) RLIKE '^[\\\\s\\u00A0\\u200B]$'
+                 OR substring(text, x.end, 1) RLIKE '^[\\\\s\\u00A0\\u200B]$'))
             """
         ),
     )

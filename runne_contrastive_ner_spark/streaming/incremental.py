@@ -31,18 +31,26 @@ def _ledger_path(warehouse: str) -> str:
     return os.path.join(warehouse, "_bucket_ledger.json")
 
 
-def _load_ledger(warehouse: str) -> set[int]:
+def _load_ledger(warehouse: str, config_key: str | None = None) -> set[int]:
+    """Completed buckets — but only if the ledger was written for the SAME
+    bucketing configuration (n_buckets + input fingerprint); a config change
+    invalidates all progress, otherwise bucket membership silently shifts."""
     p = _ledger_path(warehouse)
     if not os.path.exists(p):
         return set()
     with open(p) as f:
-        return set(json.load(f))
+        data = json.load(f)
+    if isinstance(data, list):  # legacy shape, no config recorded
+        return set(data) if config_key is None else set()
+    if config_key is not None and data.get("config") != config_key:
+        return set()
+    return set(data.get("done", []))
 
 
-def _save_ledger(warehouse: str, done: set[int]) -> None:
+def _save_ledger(warehouse: str, done: set[int], config_key: str) -> None:
     os.makedirs(warehouse, exist_ok=True)
     with open(_ledger_path(warehouse), "w") as f:
-        json.dump(sorted(done), f)
+        json.dump({"config": config_key, "done": sorted(done)}, f)
 
 
 def incremental_mentions(
@@ -57,7 +65,8 @@ def incremental_mentions(
     completed buckets. ``fail_after_bucket`` injects a crash for resume
     tests."""
     out_path = os.path.join(warehouse, "mentions_incremental")
-    done = _load_ledger(warehouse)
+    config_key = f"n_buckets={n_buckets}"
+    done = _load_ledger(warehouse, config_key)
     bucketed = transcripts.withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
     )
@@ -72,7 +81,7 @@ def incremental_mentions(
             os.path.join(out_path, f"bucket={b}")
         )
         done.add(b)
-        _save_ledger(warehouse, done)
+        _save_ledger(warehouse, done, config_key)
         if fail_after_bucket is not None and b >= fail_after_bucket:
             raise RuntimeError(f"injected failure after bucket {b}")
     return spark.read.parquet(os.path.join(out_path, "bucket=*"))
@@ -85,16 +94,17 @@ def streaming_mentions(
     checkpoint_dir: str,
 ):
     """readStream over a transcripts parquet directory → mention detection →
-    parquet append sink via foreachBatch. The mention UDF is stateless
-    per-row, so the batch operator is reused unchanged; the checkpoint
-    directory gives exactly-once file-source progress (the streaming
-    ingestion mode for continuously-arriving conversation logs)."""
+    parquet sink via foreachBatch. The mention UDF is stateless per-row, so
+    the batch operator is reused unchanged. foreachBatch is at-least-once on
+    replay, so each micro-batch OVERWRITES its own batch_id-keyed
+    subdirectory — a replayed batch rewrites identical content instead of
+    double-appending (effectively-once output)."""
     schema = spark.read.parquet(transcripts_dir).schema
 
     def process(batch_df, batch_id: int) -> None:
         extract_mentions(batch_df).withColumn(
             "batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(out_dir)
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
 
     return (
         spark.readStream.schema(schema)

@@ -112,6 +112,10 @@ class TestTokenizer:
         words = tokenize_words("a​b")
         assert [w for w, _, _ in words] == ["a", "b"]
 
+    def test_underscore_is_its_own_token(self):
+        words = tokenize_words("snake_case")
+        assert [w for w, _, _ in words] == ["snake", "_", "case"]
+
 
 class TestDecode:
     def _proba(self, tags):

@@ -91,9 +91,11 @@ def main():
         if not problems:
             ns, nd = normalize(s_rows, s_cols), normalize(d_rows, d_cols)
             if ns != nd:
-                diff_s = [r for r in ns if r not in set(map(repr, nd)) and repr(r) not in set(map(repr, nd))]
-                mism = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
-                problems.append(f"values differ; first diffs: {mism}")
+                only_spark = [r for r in ns if r not in set(map(tuple, nd))][:3]
+                only_duck = [r for r in nd if r not in set(map(tuple, ns))][:3]
+                problems.append(
+                    f"values differ; spark-only: {only_spark}; duckdb-only: {only_duck}"
+                )
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"[FAIL] {name}: {'; '.join(problems)}")
