@@ -179,6 +179,29 @@ def kg_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tr_siamese_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Siamese pair tensors (left/right ids + span masks, label)
+    assembled from the derived-transcript trainset (trainset_building.py:
+    236-291 semantics, deterministic hash-stratified sampling)."""
+    t = from_documents(spark, sf_dir)
+    m = kg_mentions(spark, sf_dir)
+    docs = (
+        t.join(
+            m.groupBy("conv_id", "turn_idx").agg(
+                F.collect_list(F.struct("type", "start", "end")).alias("ners")
+            ),
+            ["conv_id", "turn_idx"],
+            "left",
+        )
+        .select(
+            F.xxhash64("conv_id", "turn_idx").alias("id"),
+            F.col("text"),
+            F.coalesce("ners", F.array()).alias("ners"),
+        )
+    )
+    return tr.build_siamese_trainset(docs, per_type=10)
+
+
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.media_features(mm.synthesize_media(spark, sf_dir))
 
@@ -209,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_siamese_pairs": tr_siamese_pairs,
         "tr_max_seq_len": tr_max_seq_len,
         "tr_ner_trainset": tr_ner_trainset,  # rows-only: nested label arrays
+        "tr_siamese_tensors": tr_siamese_tensors,  # rows-only: pair tensors
         # multimodal plumbing (binary payloads + decode-stub feature UDFs)
         "mm_media_features": mm_media_features,
         "mm_frame_sample": mm_frame_sample,

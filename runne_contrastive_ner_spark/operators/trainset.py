@@ -146,6 +146,96 @@ def siamese_pair_sample(
     return pos.select(*cols).unionByName(neg.select(*cols))
 
 
+SPAN_ROWS_SCHEMA = (
+    "id long, sent_idx int, chunk_idx int, type string,"
+    " sub_start int, sub_end int, token_ids array<int>"
+)
+
+
+def trainset_span_rows(trainset: DataFrame, entity_types: list[str] | None = None) -> DataFrame:
+    """Span inventory in subtoken space (A4, trainset_building.py:162-233):
+    one row per contiguous non-O label run, carrying the chunk's token ids —
+    the raw material for Siamese pair tensors."""
+    entity_types = ENTITY_TYPES if entity_types is None else entity_types
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("id", "sent_idx", "chunk_idx", "type", "sub_start", "sub_end", "token_ids")}
+            for rid, s_idx, c_idx, ids, labels in zip(
+                pdf["id"], pdf["sent_idx"], pdf["chunk_idx"], pdf["token_ids"], pdf["labels"]
+            ):
+                for t_idx, plane in enumerate(labels):
+                    start = -1
+                    plane = list(plane)
+                    for pos, cls in enumerate(plane + [0]):
+                        if cls != 0 and start < 0:
+                            start = pos
+                        elif cls == 0 and start >= 0:
+                            rows["id"].append(int(rid))
+                            rows["sent_idx"].append(int(s_idx))
+                            rows["chunk_idx"].append(int(c_idx))
+                            rows["type"].append(entity_types[t_idx])
+                            rows["sub_start"].append(start)
+                            rows["sub_end"].append(pos)
+                            rows["token_ids"].append(list(ids))
+                            start = -1
+            yield pd.DataFrame(rows)
+
+    return trainset.mapInPandas(run, schema=SPAN_ROWS_SCHEMA)
+
+
+def build_siamese_trainset(
+    docs: DataFrame,
+    per_type: int = 20,
+    neg_keep_mod: int = 10,
+    neg_keep: int = 3,
+    max_seq_len: int = 128,
+) -> DataFrame:
+    """The full Siamese pair-tensor assembly (trainset_building.py:236-291
+    semantics): span inventory → deterministic stratified pair sample →
+    (left_ids, left_mask, right_ids, right_mask, label 1=same type).
+    Masks are {0,1} per token over the span's subtoken range (the masked
+    mean-pool input of siamese_nn.py:86-99)."""
+    spans = trainset_span_rows(build_ner_trainset(docs, max_seq_len=max_seq_len))
+    mask = F.expr(
+        "transform(sequence(1, size(token_ids)), i ->"
+        " IF(i - 1 >= sub_start AND i - 1 < sub_end, 1, 0))"
+    )
+    keyed = spans.withColumn("mask", mask).withColumn(
+        "key",
+        F.expr(
+            spark_md5_int_sql(
+                "concat(cast(id as string), ':', cast(sent_idx as string), ':',"
+                " cast(chunk_idx as string), ':', type, ':', cast(sub_start as string))"
+            )
+        ),
+    )
+    w = Window.partitionBy("type").orderBy("key")
+    sel = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_type)
+        .select("type", "key", "token_ids", "mask")
+    )
+    a = sel.select(
+        F.col("type").alias("type_a"), F.col("key").alias("key_a"),
+        F.col("token_ids").alias("left_ids"), F.col("mask").alias("left_mask"),
+    )
+    b = sel.select(
+        F.col("type").alias("type_b"), F.col("key").alias("key_b"),
+        F.col("token_ids").alias("right_ids"), F.col("mask").alias("right_mask"),
+    )
+    pos = a.join(
+        b, (F.col("type_a") == F.col("type_b")) & (F.col("key_a") < F.col("key_b"))
+    ).withColumn("label", F.lit(1))
+    neg = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .filter((F.col("key_a") + F.col("key_b")) % neg_keep_mod < neg_keep)
+        .withColumn("label", F.lit(0))
+    )
+    cols = ["left_ids", "left_mask", "right_ids", "right_mask", "label"]
+    return pos.select(*cols).unionByName(neg.select(*cols))
+
+
 def max_seq_len_agg(transcripts: DataFrame) -> DataFrame:
     """A3 over transcripts: max subtoken count per turn, where the
     deterministic subtokenizer emits ceil(len(token)/4) pieces per token and

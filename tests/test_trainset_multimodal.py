@@ -89,6 +89,47 @@ class TestTrainsetSpark:
         assert a == b and a[0] == a[2] and a[1] == a[3]
 
 
+class TestSiameseTrainset:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (i, "spark is here. the customer saw a window and a batch now.",
+                 [{"type": "PRODUCT", "start": 0, "end": 5},
+                  {"type": "PROFESSION", "start": 19, "end": 27},
+                  {"type": "FACILITY", "start": 34, "end": 40},
+                  {"type": "DATE", "start": 47, "end": 52}])
+                for i in range(6)
+            ],
+            "id long, text string, ners array<struct<type:string,start:int,end:int>>",
+        )
+
+    def test_span_rows_subtoken_bounds(self, spark):
+        from runne_contrastive_ner_spark.operators.trainset import (
+            build_ner_trainset,
+            trainset_span_rows,
+        )
+
+        rows = trainset_span_rows(build_ner_trainset(self._docs(spark))).collect()
+        assert {r.type for r in rows} == {"PRODUCT", "PROFESSION", "FACILITY", "DATE"}
+        for r in rows:
+            assert 0 <= r.sub_start < r.sub_end <= len(r.token_ids)
+
+    def test_pair_tensors(self, spark):
+        from runne_contrastive_ner_spark.operators.trainset import build_siamese_trainset
+
+        pairs = build_siamese_trainset(self._docs(spark), per_type=4).collect()
+        assert pairs and any(p.label == 1 for p in pairs) and any(p.label == 0 for p in pairs)
+        for p in pairs:
+            assert len(p.left_ids) == len(p.left_mask)
+            assert len(p.right_ids) == len(p.right_mask)
+            assert sum(p.left_mask) > 0 and sum(p.right_mask) > 0
+            assert set(p.left_mask) <= {0, 1}
+        # deterministic under re-run
+        again = build_siamese_trainset(self._docs(spark), per_type=4).collect()
+        key = lambda p: (p.label, tuple(p.left_ids), tuple(p.left_mask), tuple(p.right_ids), tuple(p.right_mask))  # noqa: E731
+        assert sorted(map(key, pairs)) == sorted(map(key, again))
+
+
 class TestMultimodal:
     def test_media_schema_and_payload(self, spark):
         media = mm.synthesize_media(spark, SF_DIR)
