@@ -179,6 +179,34 @@ def kg_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql surface: KG outputs registered as temp views and an
+    analytical question answered in pure SQL — canonical entities ranked by
+    graph degree (distinct co-occurrence neighbors) with mention counts."""
+    _, _, linked = _linked(spark, sf_dir)
+    induce_predicates(linked, k=2).createOrReplaceTempView("v_triples")
+    linked.createOrReplaceTempView("v_mentions")
+    return spark.sql(
+        """
+        WITH neighbors AS (
+          SELECT subj AS ent, obj AS nbr FROM v_triples WHERE pred = 'co_occurs_with'
+          UNION
+          SELECT obj, subj FROM v_triples WHERE pred = 'co_occurs_with'
+        ),
+        degree AS (
+          SELECT ent, CAST(count(DISTINCT nbr) AS BIGINT) AS degree FROM neighbors GROUP BY ent
+        ),
+        mention_counts AS (
+          SELECT canonical_id AS ent, CAST(count(*) AS BIGINT) AS n_mentions
+          FROM v_mentions GROUP BY canonical_id
+        )
+        SELECT d.ent AS canonical_id, d.degree, m.n_mentions
+        FROM degree d JOIN mention_counts m ON m.ent = d.ent
+        ORDER BY d.degree DESC, canonical_id
+        """
+    )
+
+
 def tr_siamese_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: Siamese pair tensors (left/right ids + span masks, label)
     assembled from the derived-transcript trainset (trainset_building.py:
@@ -227,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_freqs": kg_type_freqs,
         "kg_embedding_components": kg_embedding_components,
         "kg_mention_eval": kg_mention_eval,
+        "kg_entity_degrees": kg_entity_degrees,
         # training-prep family (SURVEY.md §3.2: T8/T9, M11-M13, A3/A4, J3)
         "tr_span_inventory": tr_span_inventory,
         "tr_siamese_pairs": tr_siamese_pairs,

@@ -574,6 +574,34 @@ SELECT em.vec_id::BIGINT AS vec_id,
        coalesce(c.component, em.vec_id)::BIGINT AS component
 FROM embeddings em LEFT JOIN canon c ON c.node = em.vec_id
     """,
+    "kg_entity_degrees": f"""
+WITH RECURSIVE placeholder AS (SELECT 1),
+{kg_common_ctes()[5:]},
+turn_ents AS (
+  SELECT DISTINCT m.conv_id, m.turn_idx, e.canonical_id
+  FROM mentions m JOIN entities e ON e.surface_norm = m.surface_norm
+),
+co AS (
+  SELECT a.canonical_id AS subj, b.canonical_id AS obj
+  FROM turn_ents a JOIN turn_ents b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND a.canonical_id < b.canonical_id
+),
+neighbors AS (
+  SELECT subj AS ent, obj AS nbr FROM co
+  UNION
+  SELECT obj, subj FROM co
+),
+degree AS (SELECT ent, count(DISTINCT nbr)::BIGINT AS degree FROM neighbors GROUP BY ent),
+mention_counts AS (
+  SELECT e.canonical_id AS ent, count(*)::BIGINT AS n_mentions
+  FROM mentions m JOIN entities e ON e.surface_norm = m.surface_norm
+  GROUP BY e.canonical_id
+)
+SELECT d.ent AS canonical_id, d.degree, m.n_mentions
+FROM degree d JOIN mention_counts m ON m.ent = d.ent
+ORDER BY d.degree DESC, canonical_id
+    """,
     "kg_mention_eval": f"""
 WITH transcripts AS ({DUCKDB_TRANSCRIPTS_SQL}),
 {mention_ctes("p_")},
