@@ -242,6 +242,11 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization (30-minute inactivity gap) — the same
     island pattern the mention merger uses, at the events scale. One shuffle
     on user_id; two stacked windows, no self-join."""
+    # epoch seconds independent of the session timezone: parquet stores NTZ,
+    # and bare unix_timestamp(ntz) would interpret wall time in whatever TZ
+    # the (driver-owned) session runs in; pinning through UTC matches the
+    # DuckDB oracle's epoch() semantics everywhere
+    epoch = lambda c: F.expr(f"unix_timestamp(to_utc_timestamp({c}, 'UTC'))")  # noqa: E731
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = (
         load(spark, sf_dir, "events")
@@ -250,14 +255,14 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_session",
             (
                 F.col("prev_ts").isNull()
-                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800)
+                | (epoch("ts") - epoch("prev_ts") > 1800)
             ).cast("int"),
         )
         .withColumn("session_no", F.sum("new_session").over(w))
     )
     sessions = ev.groupBy("user_id", "session_no").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))).alias("span_sec"),
+        (F.max(epoch("ts")) - F.min(epoch("ts"))).alias("span_sec"),
     )
     return sessions.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
