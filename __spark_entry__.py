@@ -179,6 +179,14 @@ def kg_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_conv_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInPandas per conversation (oracle-checked rollup)."""
+    from runne_contrastive_ner_spark.operators.predicates import conversation_summaries
+
+    _, _, linked = _linked(spark, sf_dir)
+    return conversation_summaries(linked)
+
+
 def kg_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The spark.sql surface: KG outputs registered as temp views and an
     analytical question answered in pure SQL — canonical entities ranked by
@@ -256,6 +264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_embedding_components": kg_embedding_components,
         "kg_mention_eval": kg_mention_eval,
         "kg_entity_degrees": kg_entity_degrees,
+        "kg_conv_summaries": kg_conv_summaries,
         # training-prep family (SURVEY.md §3.2: T8/T9, M11-M13, A3/A4, J3)
         "tr_span_inventory": tr_span_inventory,
         "tr_siamese_pairs": tr_siamese_pairs,

@@ -24,6 +24,43 @@ PRED_CO_OCCURS = "co_occurs_with"
 PRED_FOLLOWS = "follows"
 
 
+def conversation_summaries(mentions: DataFrame, entity_col: str = "canonical_id") -> DataFrame:
+    """Grouped ``applyInPandas`` over conversations (SURVEY.md §2.8 UDF
+    surface): per-conversation rollup computed with per-group pandas logic —
+    the shape for conversation-level state that window functions can't
+    express (here the logic is simple enough to be oracle-checkable, which
+    is the point: the grouped-UDF plumbing is verified value-for-value).
+
+    Output: conv_id, n_mentions, n_turns, n_entities, top_entity (the most
+    frequent entity, ties broken by lexicographic min)."""
+    import pandas as pd
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        counts = pdf[entity_col].value_counts()
+        top = sorted(
+            counts.index[counts == counts.max()].tolist()
+        )[0] if len(counts) else None
+        return pd.DataFrame(
+            {
+                "conv_id": [pdf["conv_id"].iloc[0]],
+                "n_mentions": [len(pdf)],
+                "n_turns": [pdf["turn_idx"].nunique()],
+                "n_entities": [pdf[entity_col].nunique()],
+                "top_entity": [top],
+            }
+        )
+
+    return (
+        mentions.select("conv_id", "turn_idx", entity_col)
+        .groupBy("conv_id")
+        .applyInPandas(
+            summarize,
+            schema="conv_id string, n_mentions long, n_turns long,"
+            " n_entities long, top_entity string",
+        )
+    )
+
+
 def turn_entity_sets(mentions: DataFrame, entity_col: str = "canonical_id") -> DataFrame:
     """(conv_id, turn_idx, ents sorted-distinct array) — one row per turn."""
     return (

@@ -574,6 +574,30 @@ SELECT em.vec_id::BIGINT AS vec_id,
        coalesce(c.component, em.vec_id)::BIGINT AS component
 FROM embeddings em LEFT JOIN canon c ON c.node = em.vec_id
     """,
+    "kg_conv_summaries": f"""
+WITH RECURSIVE placeholder AS (SELECT 1),
+{kg_common_ctes()[5:]},
+linked AS (
+  SELECT m.conv_id, m.turn_idx, e.canonical_id
+  FROM mentions m JOIN entities e ON e.surface_norm = m.surface_norm
+),
+counts AS (
+  SELECT conv_id, canonical_id, count(*) AS c FROM linked GROUP BY 1, 2
+),
+top AS (
+  SELECT conv_id, canonical_id AS top_entity FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id
+                                 ORDER BY c DESC, canonical_id) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT l.conv_id, count(*)::BIGINT AS n_mentions,
+       count(DISTINCT l.turn_idx)::BIGINT AS n_turns,
+       count(DISTINCT l.canonical_id)::BIGINT AS n_entities,
+       any_value(t.top_entity) AS top_entity
+FROM linked l JOIN top t ON t.conv_id = l.conv_id
+GROUP BY l.conv_id
+    """,
     "kg_entity_degrees": f"""
 WITH RECURSIVE placeholder AS (SELECT 1),
 {kg_common_ctes()[5:]},
