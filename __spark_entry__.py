@@ -41,9 +41,43 @@ def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_mentions(from_documents(spark, sf_dir))
 
 
+# one linked lineage per sf_dir, shared by the whole kg_* family: the gate
+# and bench call many kg_* queries per run, and rebuilding (and re-caching)
+# the expensive mention scan per query both wastes work and leaks persisted
+# DataFrames (VERDICT r1 "what's wrong" #5). The memo keys on (session, dir)
+# and releases the previous entry's persists when evicted.
+_LINKED_CACHE: dict[tuple[int, str], tuple] = {}
+
+
 def _linked(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    hit = _LINKED_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    release_linked()
+    registry: list[DataFrame] = []
     mentions = extract_mentions(from_documents(spark, sf_dir))
-    return canonicalize(spark, mentions)
+    entities, edges, linked = canonicalize(
+        spark, mentions, persist_registry=registry
+    )
+    # linked feeds kg_triples, kg_conv_summaries, and kg_entity_degrees in the
+    # same run — persist it too so the mentions→entities join runs once
+    linked = linked.persist()
+    registry.append(linked)
+    result = (entities, edges, linked)
+    _LINKED_CACHE[key] = (result, registry)
+    return result
+
+
+def release_linked() -> None:
+    """Unpersist every DataFrame cached by ``_linked`` (all sf_dirs)."""
+    for _result, registry in _LINKED_CACHE.values():
+        for df in registry:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped
+    _LINKED_CACHE.clear()
 
 
 def kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,13 +123,16 @@ def tr_max_seq_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.max_seq_len_agg(from_documents(spark, sf_dir))
 
 
-def tr_ner_trainset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: nested per-type label arrays are engine-internal. Docs are
-    derived from transcripts with mentions as gold spans (the prepare-
-    trainset path, §3.2)."""
+def _gold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript turns with the engine's mentions as gold spans — the
+    prepare-trainset input (§3.2). The doc id is the portable md5-derived
+    integer (functions/hashing.py) so the DuckDB oracle can compute the SAME
+    ids (Spark's xxhash64 has no DuckDB equivalent)."""
+    from runne_contrastive_ner_spark.functions.hashing import spark_md5_int_sql
+
     t = from_documents(spark, sf_dir)
     m = kg_mentions(spark, sf_dir)
-    docs = (
+    return (
         t.join(
             m.groupBy("conv_id", "turn_idx").agg(
                 F.collect_list(F.struct("type", "start", "end")).alias("ners")
@@ -104,12 +141,37 @@ def tr_ner_trainset(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .select(
-            F.xxhash64("conv_id", "turn_idx").alias("id"),
+            F.expr(
+                spark_md5_int_sql("concat(conv_id, ':', cast(turn_idx as string))")
+            ).alias("id"),
             F.col("text"),
             F.coalesce("ners", F.array()).alias("ners"),
         )
     )
-    return tr.build_ner_trainset(docs)
+
+
+def tr_ner_trainset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NER tensor trainset rows with the nested array columns projected to
+    stable strings (space-joined pieces, csv token ids, '|'-joined per-type
+    class planes) so the driver gate can canonicalize them AND the DuckDB
+    oracle can reproduce them value-for-value."""
+    out = tr.build_ner_trainset(_gold_docs(spark, sf_dir))
+    return out.select(
+        "id",
+        "sent_idx",
+        "chunk_idx",
+        F.array_join("pieces", " ").alias("pieces_str"),
+        F.array_join(F.expr("transform(token_ids, x -> cast(x as string))"), ",").alias(
+            "token_ids_str"
+        ),
+        F.array_join(
+            F.expr(
+                "transform(labels, l ->"
+                " array_join(transform(l, x -> cast(x as string)), ','))"
+            ),
+            "|",
+        ).alias("labels_str"),
+    )
 
 
 def kg_mention_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,30 +278,32 @@ def kg_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tr_siamese_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: Siamese pair tensors (left/right ids + span masks, label)
-    assembled from the derived-transcript trainset (trainset_building.py:
-    236-291 semantics, deterministic hash-stratified sampling)."""
-    t = from_documents(spark, sf_dir)
-    m = kg_mentions(spark, sf_dir)
-    docs = (
-        t.join(
-            m.groupBy("conv_id", "turn_idx").agg(
-                F.collect_list(F.struct("type", "start", "end")).alias("ners")
-            ),
-            ["conv_id", "turn_idx"],
-            "left",
-        )
-        .select(
-            F.xxhash64("conv_id", "turn_idx").alias("id"),
-            F.col("text"),
-            F.coalesce("ners", F.array()).alias("ners"),
-        )
+    """Siamese pair tensors (left/right ids + span masks, label) assembled
+    from the derived-transcript trainset (trainset_building.py:236-291
+    semantics, deterministic hash-stratified sampling). Tensor arrays are
+    projected to csv strings for gate canonicalization + the DuckDB oracle."""
+    out = tr.build_siamese_trainset(_gold_docs(spark, sf_dir), per_type=10)
+    as_csv = lambda c: F.array_join(  # noqa: E731
+        F.expr(f"transform({c}, x -> cast(x as string))"), ","
+    ).alias(f"{c}_str")
+    return out.select(
+        as_csv("left_ids"),
+        as_csv("left_mask"),
+        as_csv("right_ids"),
+        as_csv("right_mask"),
+        "label",
     )
-    return tr.build_siamese_trainset(docs, per_type=10)
 
 
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mm.media_features(mm.synthesize_media(spark, sf_dir))
+    """Feature vector projected to one double column per element (the stub
+    decoder emits exactly N_FEATURES), so the gate can canonicalize and the
+    DuckDB oracle compares values element-for-element."""
+    out = mm.media_features(mm.synthesize_media(spark, sf_dir))
+    feats = [
+        F.element_at("features", i + 1).alias(f"f{i}") for i in range(mm.N_FEATURES)
+    ]
+    return out.select("doc_id", "kind", "n_bytes", *feats)
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,7 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG pipeline (stages 1-5 against the derived transcripts table)
         "kg_mentions": kg_mentions,
         "kg_entities": kg_entities,
-        "kg_edges": kg_edges,  # rows-only: engine-internal edge list
+        "kg_edges": kg_edges,
         "kg_triples": kg_triples,
         "kg_type_freqs": kg_type_freqs,
         "kg_embedding_components": kg_embedding_components,
@@ -269,8 +333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_span_inventory": tr_span_inventory,
         "tr_siamese_pairs": tr_siamese_pairs,
         "tr_max_seq_len": tr_max_seq_len,
-        "tr_ner_trainset": tr_ner_trainset,  # rows-only: nested label arrays
-        "tr_siamese_tensors": tr_siamese_tensors,  # rows-only: pair tensors
+        "tr_ner_trainset": tr_ner_trainset,
+        "tr_siamese_tensors": tr_siamese_tensors,
         # multimodal plumbing (binary payloads + decode-stub feature UDFs)
         "mm_media_features": mm_media_features,
         "mm_frame_sample": mm_frame_sample,
@@ -298,7 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "sim_ann_bruteforce_topk": sim.ann_bruteforce_topk,
         "sim_lsh_buckets": sim.lsh_bucket_assignments,
-        "sim_ann_lsh_topk": sim.ann_lsh_topk,  # rows-only: approximate path
+        "sim_ann_lsh_topk": sim.ann_lsh_topk,
         # text analysis
         "ts_lang_id": ts.lang_id_heuristic,
         "ts_quality_scores": ts.quality_scores,

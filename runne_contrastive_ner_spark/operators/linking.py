@@ -91,22 +91,27 @@ def canonicalize(
     aliases: list[tuple[str, str]] | None = None,
     use_embedding_edges: bool = False,
     embedding_threshold: float = 0.9,
+    persist_registry: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """→ (entities, edges, mentions_with_canonical_id).
 
     entities: (canonical_id, surface_norm, n_mentions, types)
     edges:    (src, dst, kind)
+
+    ``persist_registry``: every DataFrame this call persists is appended, so
+    the caller can ``unpersist()`` them when the linked lineage is no longer
+    needed (callers composing many canonicalize() lineages in one session
+    would otherwise accumulate cached copies of the expensive mention scan;
+    __spark_entry__ memoizes ONE lineage per sf_dir and releases the old one).
     """
     # the mention stage is the expensive pandas-UDF scan; it is referenced by
     # nodes, edges, AND the final linked join — persist so downstream actions
     # compute it once (the staged pipeline gets the same effect from its
     # table writes; this covers direct composition)
-    # NOTE: these persists live for the session (LRU-evicted under pressure);
-    # callers composing many independent canonicalize() lineages in one
-    # session accumulate cached copies — the staged pipeline avoids this by
-    # materializing to tables instead
     mentions = mentions.persist()
     nodes = entity_nodes(mentions).persist()
+    if persist_registry is not None:
+        persist_registry.extend([mentions, nodes])
     # eagerly materialize once: the alias-edge build broadcasts two
     # projections of `nodes` concurrently, and with a cold cache both
     # broadcast subtrees race to recompute the full mention scan

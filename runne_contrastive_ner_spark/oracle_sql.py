@@ -13,7 +13,12 @@ tokenize→score→decode→CC pipeline.
 
 from __future__ import annotations
 
-from .functions.vocab import EVAL_GOLD_GAZETTEER, TEST_ALIASES, TEST_GAZETTEER
+from .functions.vocab import (
+    ENTITY_TYPES,
+    EVAL_GOLD_GAZETTEER,
+    TEST_ALIASES,
+    TEST_GAZETTEER,
+)
 from .sources.transcripts import DUCKDB_TRANSCRIPTS_SQL
 
 # ---------------------------------------------------------------------------
@@ -295,6 +300,33 @@ SIMILARITY: dict[str, str] = {
                  FOR p IN range(0, 6)])::BIGINT AS bucket
         FROM e
     """,
+    "sim_ann_lsh_topk": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        eb AS (
+          SELECT vec_id, v,
+                 list_sum([
+                   CASE WHEN list_sum([v[d] * ({_DUCK_PLANE}) FOR d IN range(1, 65)]) >= 0
+                        THEN power(2, p)::BIGINT ELSE 0 END
+                   FOR p IN range(0, 6)])::BIGINT AS bucket
+          FROM e
+        ),
+        scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_sum([a.v[d] * b.v[d] FOR d IN range(1, 65)])
+                 / (sqrt(list_sum([a.v[d] * a.v[d] FOR d IN range(1, 65)]))
+                    * sqrt(list_sum([b.v[d] * b.v[d] FOR d IN range(1, 65)]))) AS cos_raw
+          FROM eb a JOIN eb b ON a.bucket = b.bucket
+          WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_raw DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+               neighbor_id::BIGINT AS neighbor_id, round(cos_raw, 6)::DOUBLE AS cos
+        FROM ranked WHERE rank <= 3
+    """,
 }
 
 TEXTSTATS: dict[str, str] = {
@@ -485,9 +517,14 @@ MULTIMODAL: dict[str, str] = {
                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                     ELSE 'video' END AS kind,
                strlen(text)::BIGINT AS n_bytes,
-               [CASE WHEN i <= length(text)
-                     THEN round(ascii(substr(text, i, 1)) / 255.0, 6)
-                     ELSE 0.0 END FOR i IN range(1, 9)] AS features
+    """
+    + ",\n               ".join(
+        f"round(CASE WHEN {i + 1} <= length(text)"
+        f" THEN ascii(substr(text, {i + 1}, 1)) / 255.0 ELSE 0.0 END, 6)::DOUBLE"
+        f" AS f{i}"
+        for i in range(8)
+    )
+    + """
         FROM documents
     """,
     "mm_frame_sample": """
@@ -527,6 +564,14 @@ stats AS (
 )
 SELECT e.canonical_id, e.surface_norm, s.n_mentions, s.types
 FROM entities e JOIN stats s USING (surface_norm)
+    """,
+    "kg_edges": f"""
+WITH RECURSIVE placeholder AS (SELECT 1),
+{kg_common_ctes()[5:]}
+SELECT p.a AS src, p.b AS dst, 'alias' AS kind
+FROM alias_pairs p
+JOIN surfaces s1 ON s1.surface_norm = p.a
+JOIN surfaces s2 ON s2.surface_norm = p.b
     """,
     "kg_triples": f"""
 WITH RECURSIVE placeholder AS (SELECT 1),
@@ -654,6 +699,92 @@ FROM mentions GROUP BY type ORDER BY freq DESC, type
     """,
 }
 
+def trainset_ctes() -> str:
+    """CTE chain re-deriving the NER tensor trainset (operators/trainset.py
+    build_ner_trainset) in pure SQL, appended after ``kg_common_ctes()``.
+
+    Valid on the driver corpus's input domain (asserted by
+    tests/test_trainset_multimodal.py): single-line, single-spaced,
+    no-leading/trailing-whitespace ASCII text — there the engine's
+    sentenizer returns exactly one sentence (= the whole turn, offsets
+    unrebased) and its Unicode word regex degenerates to space-splitting, so
+    the tokenizer (fixed-width 4-char subword pieces, '##' continuations,
+    md5-derived token ids mod 30522), the per-type {O,START,END,MIDDLE,
+    START-END} class planes, and the 128-subtoken chunking are all
+    SQL-expressible."""
+    type_values = ", ".join(f"({i}, '{t}')" for i, t in enumerate(ENTITY_TYPES))
+    return f"""
+docs AS (
+  SELECT ('0x' || substr(md5(conv_id || ':' || turn_idx), 1, 15))::BIGINT AS id,
+         conv_id, turn_idx, text
+  FROM transcripts
+),
+words AS (
+  SELECT id, word_arr[i.i::INT] AS word, i.i::INT AS widx
+  FROM (SELECT id, string_split(text, ' ') AS word_arr FROM docs) t,
+       UNNEST(range(1, len(word_arr) + 1)) AS i(i)
+),
+wstarts AS (
+  SELECT *, (sum(length(word) + 1) OVER (PARTITION BY id ORDER BY widx)
+             - length(word) - 1)::INT AS wstart
+  FROM words
+),
+subtoks AS (
+  SELECT id, widx, p.i AS k,
+         CASE WHEN p.i = 0 THEN substr(word, 1, 4)
+              ELSE '##' || substr(word, p.i * 4 + 1, 4) END AS piece,
+         wstart + p.i * 4 AS b0,
+         wstart + p.i * 4 + length(substr(word, p.i * 4 + 1, 4)) AS b1
+  FROM wstarts, UNNEST(range(0, ceil(length(word) / 4.0)::BIGINT)) AS p(i)
+),
+chunked AS (
+  SELECT *, (s // 128)::INT AS chunk_idx, (s % 128)::INT AS pos,
+         ('0x' || substr(md5(piece), 1, 8))::BIGINT % 30522 AS tok_id
+  FROM (SELECT *, (row_number() OVER (PARTITION BY id ORDER BY widx, k) - 1)::INT AS s
+        FROM subtoks)
+),
+m2 AS (
+  SELECT d.id, m.type, m.start AS m_start, m."end" AS m_end
+  FROM mentions m JOIN docs d ON d.conv_id = m.conv_id AND d.turn_idx = m.turn_idx
+),
+covered AS (
+  SELECT c.id, m2.type, m2.m_start, c.s
+  FROM chunked c JOIN m2 ON m2.id = c.id AND c.b0 >= m2.m_start AND c.b1 <= m2.m_end
+),
+runs AS (
+  SELECT id, type, m_start, min(s) AS first_s, max(s) AS last_s
+  FROM covered GROUP BY id, type, m_start
+),
+cls AS (
+  SELECT c.id, c.type, c.s,
+         CASE WHEN r.first_s = r.last_s THEN 4
+              WHEN c.s = r.first_s THEN 1
+              WHEN c.s = r.last_s THEN 2
+              ELSE 3 END AS cls
+  FROM covered c
+  JOIN runs r ON r.id = c.id AND r.type = c.type AND r.m_start = c.m_start
+),
+types(t_idx, type) AS (VALUES {type_values}),
+planes AS (
+  SELECT ch.id, ch.chunk_idx, ty.t_idx,
+         string_agg(coalesce(cl.cls, 0)::VARCHAR, ',' ORDER BY ch.pos) AS plane
+  FROM chunked ch CROSS JOIN types ty
+  LEFT JOIN cls cl ON cl.id = ch.id AND cl.s = ch.s AND cl.type = ty.type
+  GROUP BY ch.id, ch.chunk_idx, ty.t_idx
+),
+plane_agg AS (
+  SELECT id, chunk_idx, string_agg(plane, '|' ORDER BY t_idx) AS labels_str
+  FROM planes GROUP BY id, chunk_idx
+),
+pieces_agg AS (
+  SELECT id, chunk_idx,
+         string_agg(piece, ' ' ORDER BY pos) AS pieces_str,
+         string_agg(tok_id::VARCHAR, ',' ORDER BY pos) AS token_ids_str
+  FROM chunked GROUP BY id, chunk_idx
+)
+""".strip()
+
+
 TRAINSET.update(
     {
         "tr_span_inventory": f"""
@@ -695,6 +826,54 @@ FROM (
             FOR t IN regexp_extract_all(text, '[^\\W_]+|[^\\s\\w]|_')])) AS n
   FROM transcripts
 )
+        """,
+    }
+)
+
+TRAINSET.update(
+    {
+        "tr_ner_trainset": f"""
+WITH RECURSIVE placeholder AS (SELECT 1),
+{kg_common_ctes()[5:]},
+{trainset_ctes()}
+SELECT p.id, 0::INT AS sent_idx, p.chunk_idx, p.pieces_str, p.token_ids_str,
+       l.labels_str
+FROM pieces_agg p JOIN plane_agg l USING (id, chunk_idx)
+        """,
+        "tr_siamese_tensors": f"""
+WITH RECURSIVE placeholder AS (SELECT 1),
+{kg_common_ctes()[5:]},
+{trainset_ctes()},
+span_rows AS (
+  SELECT r.id, r.type, c.c::INT AS chunk_idx,
+         (greatest(r.first_s, c.c * 128) - c.c * 128)::INT AS sub_start,
+         (least(r.last_s, c.c * 128 + 127) - c.c * 128 + 1)::INT AS sub_end
+  FROM runs r, UNNEST(range(r.first_s // 128, r.last_s // 128 + 1)) AS c(c)
+),
+chunk_len AS (SELECT id, chunk_idx, count(*) AS n FROM chunked GROUP BY id, chunk_idx),
+keyed AS (
+  SELECT sr.*, pa.token_ids_str AS ids_str,
+         array_to_string([CASE WHEN i - 1 >= sr.sub_start AND i - 1 < sr.sub_end
+                               THEN 1 ELSE 0 END
+                          FOR i IN range(1, cl.n + 1)], ',') AS mask_str,
+         ('0x' || substr(md5(sr.id::VARCHAR || ':0:' || sr.chunk_idx::VARCHAR
+                             || ':' || sr.type || ':' || sr.sub_start::VARCHAR),
+                         1, 15))::BIGINT AS key
+  FROM span_rows sr
+  JOIN chunk_len cl ON cl.id = sr.id AND cl.chunk_idx = sr.chunk_idx
+  JOIN pieces_agg pa ON pa.id = sr.id AND pa.chunk_idx = sr.chunk_idx
+),
+sel AS (
+  SELECT type, key, ids_str, mask_str FROM (
+    SELECT *, row_number() OVER (PARTITION BY type ORDER BY key) AS rn FROM keyed
+  ) WHERE rn <= 10
+)
+SELECT a.ids_str AS left_ids_str, a.mask_str AS left_mask_str,
+       b.ids_str AS right_ids_str, b.mask_str AS right_mask_str, 1::INT AS label
+FROM sel a JOIN sel b ON a.type = b.type AND a.key < b.key
+UNION ALL
+SELECT a.ids_str, a.mask_str, b.ids_str, b.mask_str, 0::INT
+FROM sel a JOIN sel b ON a.type < b.type AND (a.key + b.key) % 10 < 3
         """,
     }
 )
