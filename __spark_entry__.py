@@ -53,7 +53,7 @@ def _linked(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     hit = _LINKED_CACHE.get(key)
     if hit is not None:
-        return hit[0]
+        return hit["result"]
     release_linked()
     registry: list[DataFrame] = []
     mentions = extract_mentions(from_documents(spark, sf_dir))
@@ -65,16 +65,28 @@ def _linked(spark: SparkSession, sf_dir: str):
     linked = linked.persist()
     registry.append(linked)
     result = (entities, edges, linked)
-    _LINKED_CACHE[key] = (result, registry)
+    _LINKED_CACHE[key] = {"result": result, "registry": registry}
     return result
+
+
+def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple lineage shared by kg_triples and kg_entity_degrees (same
+    session + sf_dir), with its internal persist registered for release."""
+    _, _, linked = _linked(spark, sf_dir)
+    entry_ = _LINKED_CACHE[(id(spark), sf_dir)]
+    if "triples" not in entry_:
+        entry_["triples"] = induce_predicates(
+            linked, k=2, persist_registry=entry_["registry"]
+        )
+    return entry_["triples"]
 
 
 def release_linked() -> None:
     """Unpersist every DataFrame cached by ``_linked`` (all sf_dirs)."""
-    for _result, registry in _LINKED_CACHE.values():
-        for df in registry:
+    for entry_ in _LINKED_CACHE.values():
+        for df in entry_["registry"]:
             try:
-                df.unpersist()
+                df.unpersist(blocking=True)
             except Exception:
                 pass  # session already stopped
     _LINKED_CACHE.clear()
@@ -96,8 +108,7 @@ def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, _, linked = _linked(spark, sf_dir)
-    return induce_predicates(linked, k=2)
+    return _triples(spark, sf_dir)
 
 
 def kg_type_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,7 +265,7 @@ def kg_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytical question answered in pure SQL — canonical entities ranked by
     graph degree (distinct co-occurrence neighbors) with mention counts."""
     _, _, linked = _linked(spark, sf_dir)
-    induce_predicates(linked, k=2).createOrReplaceTempView("v_triples")
+    _triples(spark, sf_dir).createOrReplaceTempView("v_triples")
     linked.createOrReplaceTempView("v_mentions")
     return spark.sql(
         """

@@ -70,17 +70,21 @@ def connected_components(
     # materialize the symmetrized edge list once: the loop references it every
     # iteration, and without this the entire upstream lineage (which may
     # include the expensive mention-detection UDF stage) re-executes per
-    # iteration
-    sym = (
+    # iteration. persist (releasable) first; promote to localCheckpoint
+    # (lineage truncation) only if the distributed loop actually runs —
+    # checkpoint blocks have no public unpersist handle until GC, so the
+    # small-graph path must not create one.
+    sym_cached = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    n_edges = sym.count()
+    n_edges = sym_cached.count()
     if n_edges <= small_graph_edges:
-        pairs = [(r["a"], r["b"]) for r in sym.collect()]
+        pairs = [(r["a"], r["b"]) for r in sym_cached.collect()]
+        sym_cached.unpersist()
         labels_map = _union_find_local(pairs)
         spark = edges.sparkSession
         if not labels_map:
@@ -88,6 +92,8 @@ def connected_components(
         return spark.createDataFrame(
             sorted(labels_map.items()), "node string, component string"
         )
+    sym = sym_cached.localCheckpoint(eager=True)
+    sym_cached.unpersist()
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint(eager=True)
 

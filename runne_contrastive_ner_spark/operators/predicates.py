@@ -69,9 +69,17 @@ def turn_entity_sets(mentions: DataFrame, entity_col: str = "canonical_id") -> D
     )
 
 
-def induce_predicates(mentions: DataFrame, k: int = 2, entity_col: str = "canonical_id") -> DataFrame:
+def induce_predicates(
+    mentions: DataFrame,
+    k: int = 2,
+    entity_col: str = "canonical_id",
+    persist_registry: list[DataFrame] | None = None,
+) -> DataFrame:
     """mentions (with a canonical entity column) → triples
-    (conv_id, subj, pred, obj, src_turn_idx), distinct."""
+    (conv_id, subj, pred, obj, src_turn_idx), distinct.
+
+    ``persist_registry``: the internally persisted per-turn table is appended
+    so callers can unpersist it when the triple lineage is released."""
     turns = turn_entity_sets(mentions, entity_col)
 
     # rangeBetween (not rowsBetween): "k preceding turns" is defined on
@@ -88,6 +96,8 @@ def induce_predicates(mentions: DataFrame, k: int = 2, entity_col: str = "canoni
         "prev_ents",
         F.array_distinct(F.flatten(F.coalesce(F.collect_list("ents").over(w), F.array()))),
     ).persist()
+    if persist_registry is not None:
+        persist_registry.append(turns)
 
     same_turn = (
         turns.select(

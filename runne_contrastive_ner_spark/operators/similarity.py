@@ -86,6 +86,73 @@ def lsh_bucket_assignments(spark: SparkSession, sf_dir: str, n_planes: int = N_P
     return emb.select("vec_id", bucket.alias("bucket"))
 
 
+N_TABLES = 24
+PLANES_PER_TABLE = 2
+
+
+def _table_plane_vector(t: int, p: int, dim: int = DIM) -> list[float]:
+    """Deterministic pseudo-random hyperplane component vector in [-1, 1):
+    md5-derived per (table, plane, dim) — precomputed driver-side (the
+    per-row SQL md5 of the single-table variant costs ~hash-per-dim; a plane
+    is a CONSTANT, so it belongs in the plan as a literal)."""
+    from ..functions.hashing import md5_int
+
+    return [((md5_int(f"t{t}p{p}d{d}") % 2001) - 1000) / 1000.0 for d in range(dim)]
+
+
+def multitable_lsh_buckets(
+    emb: DataFrame, n_tables: int = N_TABLES, n_planes: int = PLANES_PER_TABLE
+) -> DataFrame:
+    """(vec_id, tbl, bucket): ``n_tables`` independent sign-LSH tables of
+    ``n_planes`` hyperplanes each — the multi-probe recall knob for
+    candidate generation. All buckets for a vector are computed in ONE pass
+    over the embedding column (plane vectors are plan literals), then
+    posexploded; the vector itself is NOT carried through the explode, so
+    shuffle volume is O(n_tables) longs per vector, not O(n_tables × dim)."""
+    planes_lit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(x) for x in _table_plane_vector(t, p)) + ")"
+            for t in range(n_tables)
+            for p in range(n_planes)
+        )
+        + ")"
+    )
+    buckets = F.expr(
+        f"""
+        transform(sequence(0, {n_tables - 1}), t ->
+          aggregate(sequence(0, {n_planes - 1}), 0L, (acc, p) ->
+            acc + IF(
+              aggregate(zip_with(v, element_at({planes_lit}, t * {n_planes} + p + 1),
+                                 (x, y) -> x * y), 0D, (s, z) -> s + z) >= 0,
+              shiftleft(1L, p), 0L)))
+        """
+    )
+    return emb.select(
+        "vec_id", F.posexplode(buckets).alias("tbl", "bucket")
+    )
+
+
+def lsh_candidate_pairs(
+    emb: DataFrame, n_tables: int = N_TABLES, n_planes: int = PLANES_PER_TABLE
+) -> DataFrame:
+    """(vec_a, vec_b) distinct candidate pairs sharing a bucket in ANY table
+    — pure equi-join on (tbl, bucket); no quadratic stage."""
+    bk = multitable_lsh_buckets(emb, n_tables, n_planes)
+    x = bk.alias("x")
+    y = bk.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 3) -> DataFrame:
     """Approximate top-k: rank only within the query's LSH bucket. Bucket
     assignment + equi-join on bucket — no quadratic stage."""

@@ -165,10 +165,12 @@ DEDUP: dict[str, str] = {
     """,
     "dd_ngram_jaccard_pairs": f"""
         WITH {_SHINGLES_CTE},
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 16),
+        kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
         common AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2
         )
         SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
