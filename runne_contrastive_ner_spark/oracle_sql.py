@@ -423,9 +423,17 @@ def mention_ctes(prefix: str, gazetteer: dict[str, str] | None = None) -> str:
          OR NOT regexp_matches(substr(lower(t.text), u.i + length(g.term), 1), '[a-z0-9]'))
 ),
 {prefix}flagged AS (
+  -- island merge mirrors the engine: adjacent same-type matches merge when
+  -- the gap is pure whitespace WITHOUT a newline — the engine's sentenizer
+  -- hard-breaks at newlines, so matches on opposite sides of one are
+  -- decoded in different sentences and never merge (ADVICE r1)
   SELECT *, CASE WHEN lag(m_end) OVER w IS NULL THEN 1
-                 WHEN trim(substr(text, lag(m_end) OVER w + 1,
-                                  m_start - lag(m_end) OVER w)) = '' THEN 0
+                 WHEN regexp_matches(substr(text, lag(m_end) OVER w + 1,
+                                             m_start - lag(m_end) OVER w),
+                                     '^[[:space:]]*$')
+                      AND NOT contains(substr(text, lag(m_end) OVER w + 1,
+                                              m_start - lag(m_end) OVER w),
+                                       chr(10)) THEN 0
                  ELSE 1 END AS new_island
   FROM {prefix}raw_matches
   WINDOW w AS (PARTITION BY conv_id, turn_idx, type ORDER BY m_start)
@@ -464,9 +472,14 @@ raw_matches AS (
          OR NOT regexp_matches(substr(lower(t.text), u.i + length(g.term), 1), '[a-z0-9]'))
 ),
 flagged AS (
+  -- newline hard break mirrored from the engine sentenizer (see mention_ctes)
   SELECT *, CASE WHEN lag(m_end) OVER w IS NULL THEN 1
-                 WHEN trim(substr(text, lag(m_end) OVER w + 1,
-                                  m_start - lag(m_end) OVER w)) = '' THEN 0
+                 WHEN regexp_matches(substr(text, lag(m_end) OVER w + 1,
+                                             m_start - lag(m_end) OVER w),
+                                     '^[[:space:]]*$')
+                      AND NOT contains(substr(text, lag(m_end) OVER w + 1,
+                                              m_start - lag(m_end) OVER w),
+                                       chr(10)) THEN 0
                  ELSE 1 END AS new_island
   FROM raw_matches
   WINDOW w AS (PARTITION BY conv_id, turn_idx, type ORDER BY m_start)
@@ -480,7 +493,10 @@ mentions AS (
   SELECT conv_id, turn_idx, type,
          min(m_start)::INTEGER AS start, max(m_end)::INTEGER AS "end",
          substr(any_value(text), min(m_start) + 1, max(m_end) - min(m_start)) AS surface,
-         lower(substr(any_value(text), min(m_start) + 1, max(m_end) - min(m_start)))
+         -- engine normalize_surface: lowercase + collapse whitespace runs
+         lower(regexp_replace(substr(any_value(text), min(m_start) + 1,
+                                     max(m_end) - min(m_start)),
+                              '[[:space:]]+', ' ', 'g'))
            AS surface_norm
   FROM islands
   GROUP BY conv_id, turn_idx, type, island

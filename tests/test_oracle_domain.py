@@ -1,0 +1,92 @@
+"""Engine ↔ DuckDB-oracle agreement beyond the driver corpus (ADVICE r1).
+
+The KG oracles re-derive mention detection as substring search + island
+merge. That independent formulation agrees with the engine's
+sentenize→tokenize→score→decode pipeline on a DOCUMENTED input domain:
+
+* island merging mirrors the engine's newline hard break (matches separated
+  by whitespace-with-a-newline do NOT merge) — regression-tested here on
+  texts the driver corpus never exercises ('spark\\nspark' etc.);
+* KNOWN remaining divergences, deliberately outside the tested domain:
+  - multi-word gazetteer terms straddling the 256-subtoken scoring window
+    boundary (engine windows score independently; oracle has no window),
+  - non-ASCII word boundaries (oracle guards with [a-z0-9]; the engine
+    tokenizer is Unicode-aware), and zero-width spaces inside a match gap
+    (engine treats ZWSP as a space; DuckDB trim() does not).
+  The driver corpus (single-line lowercase-ASCII, verified in
+  test_trainset_multimodal) contains none of these.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+from runne_contrastive_ner_spark import oracle_sql as OSQL
+
+# texts that exercise the newline hard break, multi-line merging, and mixed
+# whitespace gaps around gazetteer surfaces
+NEWLINE_TEXTS = [
+    "spark\nspark",                     # newline gap: two PRODUCT mentions
+    "spark spark",                      # space gap: one merged mention
+    "spark \n spark",                   # space+newline+space: still two
+    "spark\tspark",                     # tab gap: merged (no newline)
+    "big data\nwindow opened",          # multi-word term then newline
+    "the table\nand the table again",   # newline between same-type terms
+    "spark. spark",                     # punctuation gap: two mentions
+    "key said spark\nspark and spark",  # merge on one side of the break
+    "vector",
+    "plain text with no entities here",
+]
+
+
+@pytest.fixture(scope="module")
+def newline_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("newline_docs")
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(NEWLINE_TEXTS)), "text": NEWLINE_TEXTS}
+    )
+    pdf.to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_mention_oracle_matches_engine_on_newline_text(spark, newline_dir):
+    eng = sorted(
+        tuple(r)
+        for r in entry_mod.kg_mentions(spark, newline_dir)
+        .select("conv_id", "turn_idx", "type", "start", "end", "surface_norm")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{newline_dir}/documents.parquet')"
+    )
+    orc = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"WITH RECURSIVE placeholder AS (SELECT 1),\n{OSQL.kg_common_ctes()[5:]}\n"
+            'SELECT conv_id, turn_idx, type, start, "end", surface_norm FROM mentions'
+        ).fetchall()
+    )
+    assert eng == orc
+    # and the newline break actually fired: doc 0 has TWO spark mentions
+    doc0 = [r for r in eng if r[4] <= 11 and r[5] == "spark"]
+    assert len([r for r in eng if r[5] == "spark"]) >= 2
+
+
+def test_newline_vs_space_merge_semantics(spark, newline_dir):
+    rows = entry_mod.kg_mentions(spark, newline_dir).collect()
+    by_doc = {}
+    for r in rows:
+        # conv-0000 turn 0 is doc 0 etc. (doc_id = turn_idx*40 + conv bucket)
+        key = (r["conv_id"], r["turn_idx"])
+        by_doc.setdefault(key, []).append((r["type"], r["start"], r["end"]))
+    # doc 0 'spark\nspark' → two mentions; doc 1 'spark spark' → one merged
+    def doc_key(i):
+        return (f"conv-{i % 40:04d}", i // 40)
+
+    assert len(by_doc[doc_key(0)]) == 2
+    assert len(by_doc[doc_key(1)]) == 1
+    assert len(by_doc[doc_key(2)]) == 2   # 'spark \n spark'
+    assert len(by_doc[doc_key(3)]) == 1   # tab gap merges
