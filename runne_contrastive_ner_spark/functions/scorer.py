@@ -156,19 +156,143 @@ class GazetteerScorer(Scorer):
                 plane[pos, MIDDLE] = CONF
 
 
-class TransformerScorer(Scorer):  # pragma: no cover - optional heavy path
-    """Adapter for a real HF token-classification encoder; the per-type heads
-    mirror ner.py:302-346. Unavailable in-sandbox (no transformers/TF)."""
+class ArtifactError(ValueError):
+    """Raised when a model artifact directory violates the ner.json contract
+    (reference load_ner, neural_network/ner.py:362-505)."""
 
-    def __init__(self, model_dir: str):
+
+_BASE_NAME_RE = None  # compiled lazily
+
+
+def load_ner_artifact(path: str) -> dict:
+    """Validate and parse a trained-NER artifact directory up to (but not
+    including) the model forward pass — the full re-expression of the
+    reference's load_ner config-schema contract (ner.py:362-447):
+
+    * directory exists; ``ner.json`` and ``ner.h5`` exist;
+    * config is a JSON object with keys named_entities / max_sent_len /
+      bert / base_name;
+    * max_sent_len is an int > 3; named_entities is a list (validated
+      against the vocab grammar, train_test_split.py:9); bert and base_name
+      are strings; base_name matches the TF layer-name grammar
+      ``^[a-zA-Z]+[_a-zA-Z]*[a-zA-Z]+\\d*$`` (ner.py:425-428);
+    * a relative ``bert`` resolves inside the artifact dir when that
+      subdirectory exists (ner.py:432-434); when the resolved BERT dir
+      carries a readable ``config.json``, model_type must be 'bert' and
+      max_sent_len must not exceed max_position_embeddings
+      (ner.py:436-446 — checked WITHOUT importing transformers).
+
+    Returns {'named_entities', 'max_sent_len', 'bert_path', 'base_name',
+    'weights_path'}. Everything here runs in-sandbox; only the actual
+    forward pass needs the transformers/TF runtime.
+    """
+    import json
+    import os
+    import re
+
+    from .vocab import validate_entity_types
+
+    global _BASE_NAME_RE
+    if _BASE_NAME_RE is None:
+        _BASE_NAME_RE = re.compile(r"^[a-zA-Z]+[_a-zA-Z]*[a-zA-Z]+\d*$")
+
+    if not os.path.isdir(path):
+        raise ArtifactError(f"artifact directory {path!r} does not exist")
+    config_name = os.path.join(path, "ner.json")
+    if not os.path.isfile(config_name):
+        raise ArtifactError(f"config file {config_name!r} does not exist")
+    weights_name = os.path.join(path, "ner.h5")
+    if not os.path.isfile(weights_name):
+        raise ArtifactError(f"weights file {weights_name!r} does not exist")
+    with open(config_name, encoding="utf-8") as fp:
+        config = json.load(fp)
+    if not isinstance(config, dict):
+        raise ArtifactError(f"config must be a JSON object, got {type(config)}")
+    for key in ("named_entities", "max_sent_len", "bert", "base_name"):
+        if key not in config:
+            raise ArtifactError(f"config key {key!r} is missing")
+    if not isinstance(config["max_sent_len"], int) or isinstance(
+        config["max_sent_len"], bool
+    ):
+        raise ArtifactError("max_sent_len must be an int")
+    if config["max_sent_len"] < 4:
+        raise ArtifactError(
+            f"max_sent_len = {config['max_sent_len']} is too small (need > 3)"
+        )
+    if not isinstance(config["named_entities"], list):
+        raise ArtifactError("named_entities must be a list")
+    validate_entity_types(config["named_entities"])
+    if not isinstance(config["bert"], str):
+        raise ArtifactError("bert must be a string")
+    if not isinstance(config["base_name"], str):
+        raise ArtifactError("base_name must be a string")
+    if _BASE_NAME_RE.search(config["base_name"]) is None:
+        raise ArtifactError(
+            f"{config['base_name']!r} is not a valid TF model/layer name"
+        )
+    bert_path = config["bert"]
+    local_bert = os.path.join(path, os.path.normpath(bert_path))
+    if os.path.isdir(local_bert):
+        bert_path = local_bert
+    bert_config_file = os.path.join(bert_path, "config.json")
+    if os.path.isfile(bert_config_file):
+        with open(bert_config_file, encoding="utf-8") as fp:
+            bert_config = json.load(fp)
+        if bert_config.get("model_type") != "bert":
+            raise ArtifactError(f"transformer at {bert_path!r} is not BERT")
+        max_pos = bert_config.get("max_position_embeddings")
+        if isinstance(max_pos, int) and config["max_sent_len"] > max_pos:
+            raise ArtifactError(
+                f"max_sent_len = {config['max_sent_len']} exceeds the"
+                f" encoder's max_position_embeddings = {max_pos}"
+            )
+    return {
+        "named_entities": list(config["named_entities"]),
+        "max_sent_len": config["max_sent_len"],
+        "bert_path": bert_path,
+        "base_name": config["base_name"],
+        "weights_path": weights_name,
+    }
+
+
+class TransformerScorer(Scorer):
+    """Adapter for a real trained encoder artifact. The artifact contract
+    (directory layout, ner.json schema, vocab/window wiring — ner.py:362-447)
+    is fully implemented and tested in-sandbox via ``load_ner_artifact``;
+    per-type 5-class heads over the masked sequence output (ner.py:449-500)
+    exist only behind the forward boundary, so only ``_load_model`` needs the
+    transformers/TF runtime. ``score_pieces`` windows are sliced upstream by
+    ``score_windows`` exactly as for GazetteerScorer (recognize.py:56-86
+    semantics, batched)."""
+
+    def __init__(self, model_dir: str, model_loader=None):
+        art = load_ner_artifact(model_dir)
+        self.entity_types = art["named_entities"]
+        self.window = art["max_sent_len"]
+        self.artifact = art
+        self._model_loader = model_loader or self._load_model
+        self._model = None
+
+    def _load_model(self):  # pragma: no cover - needs transformers/TF
         try:
             import transformers  # noqa: F401
         except ImportError as exc:
             raise NotImplementedError(
-                "TransformerScorer requires the 'transformers' package; "
-                "use GazetteerScorer in this environment"
+                "the transformers/TF runtime is not present in this"
+                " environment; the artifact at"
+                f" {self.artifact['bert_path']!r} is validated and wired, but"
+                " the forward pass cannot run — use GazetteerScorer or"
+                " inject model_loader"
             ) from exc
-        raise NotImplementedError("wire a trained artifact here (ner.py:362-505 schema)")
+        raise NotImplementedError(
+            "build TFBertModel + per-type TimeDistributed(Dense(5)) heads and"
+            " load ner.h5 here (ner.py:449-505)"
+        )
+
+    def score_pieces(self, pieces: list[str]) -> np.ndarray:
+        if self._model is None:
+            self._model = self._model_loader()
+        return self._model(pieces)
 
 
 def score_windows(scorer: Scorer, pieces: list[str], window: int | None = None) -> np.ndarray:

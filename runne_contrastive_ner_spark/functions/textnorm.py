@@ -40,25 +40,50 @@ def remove_accents(text: str) -> str:
     return "".join(out)
 
 
-def find_substring(needle: str, haystack: str, start: int = 0) -> tuple[int, int]:
-    """Find ``needle`` in ``haystack`` starting at ``start``, where haystack
-    characters may be PLACEHOLDER wildcards. Returns half-open (begin, end)
-    char bounds or (-1, -1) if absent. Comparison is case-insensitive (the
-    reference searches over accent-folded, case-matched strings)."""
-    n, h = needle.lower(), haystack.lower()
-    ln, lh = len(n), len(h)
-    if ln == 0:
+def find_substring(s: str, substring: str) -> tuple[int, int]:
+    """Reference-contract tolerant substring search (tokenization.py:79-120,
+    goldens tests/test_tokenization.py:671-723): find ``substring`` in ``s``
+    where ``s`` may contain PLACEHOLDER chars left by accent folding
+    (standalone combining marks). Placeholders in ``s`` are SKIPPED during
+    matching (they are mark remnants, not wildcards); leading placeholders
+    immediately before the match and trailing placeholders after it are
+    consumed into the returned half-open bounds. Raises ValueError if the
+    substring itself contains a placeholder or edge whitespace. The match is
+    anchored at the FIRST occurrence of the substring's first char (the
+    reference searches one normalized word at a time, so one anchor
+    suffices)."""
+    if PLACEHOLDER in substring:
+        raise ValueError(
+            f"{substring!r} is a wrong sub-word: it contains {PLACEHOLDER!r}"
+        )
+    if substring != substring.strip():
+        raise ValueError(
+            f"{substring!r} is a wrong sub-word: it has edge whitespace"
+        )
+    if len(substring) == 0:
         return (-1, -1)
-    for i in range(start, lh - ln + 1):
-        ok = True
-        for j in range(ln):
-            hc = h[i + j]
-            if hc != n[j] and hc != PLACEHOLDER and n[j] != PLACEHOLDER:
-                ok = False
-                break
-        if ok:
-            return (i, i + ln)
-    return (-1, -1)
+    if PLACEHOLDER not in s:
+        start_pos = s.find(substring)
+        if start_pos < 0:
+            return (-1, -1)
+        return (start_pos, start_pos + len(substring))
+    found_idx = s.find(substring[0])
+    if found_idx < 0:
+        return (-1, -1)
+    idx1 = found_idx + 1
+    while found_idx > 0 and s[found_idx - 1] == PLACEHOLDER:
+        found_idx -= 1
+    for ch in substring[1:]:
+        while idx1 < len(s) and s[idx1] == PLACEHOLDER:
+            idx1 += 1
+        if idx1 >= len(s) or s[idx1] != ch:
+            break
+        idx1 += 1
+    if s[found_idx:idx1].replace(PLACEHOLDER, "") != substring:
+        return (-1, -1)
+    while idx1 < len(s) and s[idx1] == PLACEHOLDER:
+        idx1 += 1
+    return (found_idx, idx1)
 
 
 def normalize_surface(text: str) -> str:

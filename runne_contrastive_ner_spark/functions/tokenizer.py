@@ -29,10 +29,15 @@ import re
 ZWSP = "​"
 SUBTOKEN_WIDTH = 4
 
-# a "word" is a run of letters/digits (any script, underscores excluded);
-# any other non-space char — including '_', which neither class covers —
-# is a single-char token
-_WORD_RE = re.compile(r"[^\W_]+|[^\s\w]|_", re.UNICODE)
+# a "word" is a run of letters/digits (any script, underscores excluded),
+# with combining marks (U+0300-036F diacritics, U+0483-0489 Cyrillic)
+# attached to the word they follow — razdel keeps 'Диа́с' one token
+# (reference golden test_tokenize_text_5); any other non-space char —
+# including '_', which neither class covers — is a single-char token
+_COMBINING = "\u0300-\u036f\u0483-\u0489"
+_WORD_RE = re.compile(
+    rf"[^\W_](?:[^\W_]|[{_COMBINING}])*|[^\s\w]|_", re.UNICODE
+)
 
 Word = tuple[str, int, int]
 Subtoken = tuple[str, int, int]

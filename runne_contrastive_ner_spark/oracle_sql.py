@@ -423,17 +423,22 @@ def mention_ctes(prefix: str, gazetteer: dict[str, str] | None = None) -> str:
          OR NOT regexp_matches(substr(lower(t.text), u.i + length(g.term), 1), '[a-z0-9]'))
 ),
 {prefix}flagged AS (
-  -- island merge mirrors the engine: adjacent same-type matches merge when
-  -- the gap is pure whitespace WITHOUT a newline — the engine's sentenizer
-  -- hard-breaks at newlines, so matches on opposite sides of one are
-  -- decoded in different sentences and never merge (ADVICE r1)
+  -- island merge mirrors the engine sentenizer's CONDITIONAL newline rule
+  -- (reference tokenization.py:304-354): a whitespace gap merges unless it
+  -- contains a newline/CR AND the next match starts title-case (matched
+  -- surfaces never end in ?/!/., so that branch of the block rule is moot)
   SELECT *, CASE WHEN lag(m_end) OVER w IS NULL THEN 1
                  WHEN regexp_matches(substr(text, lag(m_end) OVER w + 1,
                                              m_start - lag(m_end) OVER w),
                                      '^[[:space:]]*$')
-                      AND NOT contains(substr(text, lag(m_end) OVER w + 1,
-                                              m_start - lag(m_end) OVER w),
-                                       chr(10)) THEN 0
+                      AND NOT ((contains(substr(text, lag(m_end) OVER w + 1,
+                                                m_start - lag(m_end) OVER w),
+                                         chr(10))
+                                OR contains(substr(text, lag(m_end) OVER w + 1,
+                                                   m_start - lag(m_end) OVER w),
+                                            chr(13)))
+                               AND regexp_matches(substr(text, m_start + 1, 1),
+                                                  '[A-Z]')) THEN 0
                  ELSE 1 END AS new_island
   FROM {prefix}raw_matches
   WINDOW w AS (PARTITION BY conv_id, turn_idx, type ORDER BY m_start)
@@ -472,14 +477,19 @@ raw_matches AS (
          OR NOT regexp_matches(substr(lower(t.text), u.i + length(g.term), 1), '[a-z0-9]'))
 ),
 flagged AS (
-  -- newline hard break mirrored from the engine sentenizer (see mention_ctes)
+  -- conditional newline block rule mirrored from the engine (see mention_ctes)
   SELECT *, CASE WHEN lag(m_end) OVER w IS NULL THEN 1
                  WHEN regexp_matches(substr(text, lag(m_end) OVER w + 1,
                                              m_start - lag(m_end) OVER w),
                                      '^[[:space:]]*$')
-                      AND NOT contains(substr(text, lag(m_end) OVER w + 1,
-                                              m_start - lag(m_end) OVER w),
-                                       chr(10)) THEN 0
+                      AND NOT ((contains(substr(text, lag(m_end) OVER w + 1,
+                                                m_start - lag(m_end) OVER w),
+                                         chr(10))
+                                OR contains(substr(text, lag(m_end) OVER w + 1,
+                                                   m_start - lag(m_end) OVER w),
+                                            chr(13)))
+                               AND regexp_matches(substr(text, m_start + 1, 1),
+                                                  '[A-Z]')) THEN 0
                  ELSE 1 END AS new_island
   FROM raw_matches
   WINDOW w AS (PARTITION BY conv_id, turn_idx, type ORDER BY m_start)

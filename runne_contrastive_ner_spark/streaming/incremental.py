@@ -53,19 +53,38 @@ def _save_ledger(warehouse: str, done: set[int], config_key: str) -> None:
         json.dump({"config": config_key, "done": sorted(done)}, f)
 
 
+def input_fingerprint(transcripts: DataFrame) -> str:
+    """Order-independent content fingerprint of a transcripts DataFrame:
+    row count + xor-agg of xxhash64(conv_id, turn_idx). One scan; callers
+    that already know a cheaper identity (Iceberg snapshot id, source path +
+    mtime) can pass that to ``incremental_mentions`` instead."""
+    row = transcripts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("conv_id", "turn_idx") % 1_000_003).alias("h"),
+    ).collect()[0]
+    return f"n={row['n']};h={row['h']}"
+
+
 def incremental_mentions(
     spark: SparkSession,
     transcripts: DataFrame,
     warehouse: str,
     n_buckets: int = 8,
     fail_after_bucket: int | None = None,
+    input_fp: str | None = None,
 ) -> DataFrame:
     """Process transcripts bucket-by-bucket (hash of conv_id), appending each
     bucket's mentions and recording completion in a ledger. Re-running skips
     completed buckets. ``fail_after_bucket`` injects a crash for resume
-    tests."""
+    tests.
+
+    The ledger key includes an INPUT fingerprint (computed when not passed),
+    so progress recorded against different input data is invalidated rather
+    than silently mixing stale buckets with fresh ones (ADVICE r1)."""
     out_path = os.path.join(warehouse, "mentions_incremental")
-    config_key = f"n_buckets={n_buckets}"
+    if input_fp is None:
+        input_fp = input_fingerprint(transcripts)
+    config_key = f"n_buckets={n_buckets};input={input_fp}"
     done = _load_ledger(warehouse, config_key)
     bucketed = transcripts.withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))

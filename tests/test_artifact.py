@@ -1,0 +1,114 @@
+"""TransformerScorer artifact layer (VERDICT r1 item 7): the full
+reference load_ner config-schema contract (ner.py:362-447) validated against
+a synthetic artifact directory; the only thing that may fail is the (mocked)
+forward pass."""
+
+import json
+
+import numpy as np
+import pytest
+
+from runne_contrastive_ner_spark.functions.decode import N_CLASSES
+from runne_contrastive_ner_spark.functions.scorer import (
+    ArtifactError,
+    TransformerScorer,
+    load_ner_artifact,
+    score_windows,
+)
+
+GOOD_CONFIG = {
+    "named_entities": ["PERSON", "ORGANIZATION", "LOCATION"],
+    "max_sent_len": 128,
+    "bert": "bert",
+    "base_name": "runne_ner1",
+}
+
+
+@pytest.fixture()
+def artifact_dir(tmp_path):
+    d = tmp_path / "model"
+    d.mkdir()
+    (d / "ner.json").write_text(json.dumps(GOOD_CONFIG))
+    (d / "ner.h5").write_bytes(b"\x89HDF\r\n")  # placeholder weights blob
+    bert = d / "bert"
+    bert.mkdir()
+    (bert / "config.json").write_text(
+        json.dumps({"model_type": "bert", "max_position_embeddings": 512,
+                    "hidden_size": 768, "pad_token_id": 0})
+    )
+    return d
+
+
+def test_artifact_loads_and_wires(artifact_dir):
+    art = load_ner_artifact(str(artifact_dir))
+    assert art["named_entities"] == ["PERSON", "ORGANIZATION", "LOCATION"]
+    assert art["max_sent_len"] == 128
+    # relative bert resolved inside the artifact dir (ner.py:432-434)
+    assert art["bert_path"] == str(artifact_dir / "bert")
+    assert art["weights_path"].endswith("ner.h5")
+
+
+@pytest.mark.parametrize(
+    "mutate,needle",
+    [
+        (lambda c: c.pop("named_entities"), "named_entities"),
+        (lambda c: c.pop("max_sent_len"), "max_sent_len"),
+        (lambda c: c.pop("bert"), "bert"),
+        (lambda c: c.pop("base_name"), "base_name"),
+        (lambda c: c.update(max_sent_len=3), "too small"),
+        (lambda c: c.update(max_sent_len="128"), "int"),
+        (lambda c: c.update(max_sent_len=1024), "max_position_embeddings"),
+        (lambda c: c.update(named_entities="PERSON"), "list"),
+        (lambda c: c.update(named_entities=["bad-name"]), "bad"),
+        (lambda c: c.update(base_name="1bad name"), "valid TF"),
+    ],
+)
+def test_artifact_schema_violations_raise(artifact_dir, mutate, needle):
+    cfg = dict(GOOD_CONFIG)
+    mutate(cfg)
+    (artifact_dir / "ner.json").write_text(json.dumps(cfg))
+    with pytest.raises((ArtifactError, ValueError)) as exc:
+        load_ner_artifact(str(artifact_dir))
+    assert needle.split()[0].lower() in str(exc.value).lower()
+
+
+def test_missing_files_raise(tmp_path, artifact_dir):
+    with pytest.raises(ArtifactError, match="does not exist"):
+        load_ner_artifact(str(tmp_path / "nope"))
+    (artifact_dir / "ner.h5").unlink()
+    with pytest.raises(ArtifactError, match="ner.h5"):
+        load_ner_artifact(str(artifact_dir))
+
+
+def test_non_bert_encoder_rejected(artifact_dir):
+    (artifact_dir / "bert" / "config.json").write_text(
+        json.dumps({"model_type": "roberta", "max_position_embeddings": 512})
+    )
+    with pytest.raises(ArtifactError, match="not BERT"):
+        load_ner_artifact(str(artifact_dir))
+
+
+def test_scorer_wires_and_fails_only_at_forward(artifact_dir):
+    scorer = TransformerScorer(str(artifact_dir))
+    assert scorer.entity_types == ["PERSON", "ORGANIZATION", "LOCATION"]
+    assert scorer.window == 128
+    with pytest.raises(NotImplementedError):
+        scorer.score_pieces(["hello", "##wor", "##ld"])
+
+
+def test_scorer_with_injected_forward(artifact_dir):
+    """The window-slicing glue works end-to-end once a forward exists."""
+
+    def fake_loader():
+        def forward(pieces):
+            n = len(pieces)
+            out = np.full((len(GOOD_CONFIG["named_entities"]), n, N_CLASSES), -2.0)
+            out[:, :, 0] = 2.0  # all-O logits
+            return out
+
+        return forward
+
+    scorer = TransformerScorer(str(artifact_dir), model_loader=fake_loader)
+    logits = score_windows(scorer, ["tok"] * 300)  # forces 3 windows of 128
+    assert logits.shape == (3, 300, N_CLASSES)
+    assert np.all(logits[:, :, 0] == 2.0)

@@ -42,8 +42,10 @@ class TestTextNorm:
         assert out.startswith("cafe naive")
 
     def test_find_substring_with_placeholder(self):
-        assert find_substring("cafe", "x caf` y") == (2, 6)
-        assert find_substring("zzz", "abc") == (-1, -1)
+        # reference contract (tokenization.py:79-120): placeholders in the
+        # haystack are skipped/consumed, arg order is (s, substring)
+        assert find_substring("x cafe` y", "cafe") == (2, 7)
+        assert find_substring("abc", "zzz") == (-1, -1)
 
     def test_normalize_surface(self):
         assert normalize_surface("  Big   DATA ") == "big data"
@@ -68,10 +70,18 @@ class TestSentenize:
         got = [t[a:b] for a, b in sentenize_text(t)]
         assert got == ["He said «Wait. Stop» loudly!", "Done."]
 
-    def test_newline_hard_break(self):
-        t = "first block\nsecond block"
+    def test_newline_conditional_break(self):
+        # reference rule (tokenization.py:304-354): a newline breaks only
+        # when the next non-space char is title-case or the previous one
+        # was ?/!/.
+        t = "first block\nSecond block"
         got = [t[a:b] for a, b in sentenize_text(t)]
-        assert got == ["first block", "second block"]
+        assert got == ["first block", "Second block"]
+        t2 = "first block\nsecond block"
+        assert [t2[a:b] for a, b in sentenize_text(t2)] == [t2]
+        t3 = "first block.\nsecond block"
+        got3 = [t3[a:b] for a, b in sentenize_text(t3)]
+        assert got3 == ["first block.", "second block"]
 
     def test_terminator_run(self):
         t = "What?! Really... Yes."
@@ -84,8 +94,9 @@ class TestSentenize:
 
     def test_quoted_spans(self):
         assert find_quoted_spans('a "bc" d') == [(2, 6)]
-        # nested «» reports the outermost span
-        assert find_quoted_spans("x «a «b» c» y") == [(2, 11)]
+        # reference toggle semantics (tokenization.py:282-301): an inner «
+        # is ignored while a span is open, so the FIRST » closes the span
+        assert find_quoted_spans("x «a «b» c» y") == [(2, 8)]
 
 
 class TestTokenizer:

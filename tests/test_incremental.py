@@ -31,6 +31,21 @@ class TestIncremental:
         again = incremental_mentions(spark, t, wh, n_buckets=4)
         assert again.count() == out.count()
 
+    def test_ledger_invalidated_when_input_changes(self, spark, tmp_path):
+        """Progress recorded against one input must NOT be reused for a
+        different input (ADVICE r1: stale-mixed-output bug)."""
+        t1 = synthesize(spark, n_convs=4, turns_per_conv=4, long_conv_turns=0).cache()
+        t2 = synthesize(spark, n_convs=6, turns_per_conv=5, long_conv_turns=0).cache()
+        wh = str(tmp_path / "wh2")
+        incremental_mentions(spark, t1, wh, n_buckets=4)
+        # re-running with DIFFERENT input recomputes every bucket: the output
+        # must equal a fresh full run over t2, not a stale mix
+        out = incremental_mentions(spark, t2, wh, n_buckets=4)
+        assert out.count() == extract_mentions(t2).count()
+        # and same-input rerun still short-circuits (ledger key stable)
+        again = incremental_mentions(spark, t2, wh, n_buckets=4)
+        assert again.count() == out.count()
+
 
 class TestStreaming:
     def test_windowed_counts_match_batch(self, spark, tmp_path):

@@ -4,9 +4,10 @@ The KG oracles re-derive mention detection as substring search + island
 merge. That independent formulation agrees with the engine's
 sentenize→tokenize→score→decode pipeline on a DOCUMENTED input domain:
 
-* island merging mirrors the engine's newline hard break (matches separated
-  by whitespace-with-a-newline do NOT merge) — regression-tested here on
-  texts the driver corpus never exercises ('spark\\nspark' etc.);
+* island merging mirrors the engine sentenizer's CONDITIONAL newline rule
+  (reference tokenization.py:304-354): a whitespace gap with a newline
+  breaks the block only when the next match starts title-case — regression-
+  tested here on texts the driver corpus never exercises;
 * KNOWN remaining divergences, deliberately outside the tested domain:
   - multi-word gazetteer terms straddling the 256-subtoken scoring window
     boundary (engine windows score independently; oracle has no window),
@@ -27,16 +28,17 @@ from runne_contrastive_ner_spark import oracle_sql as OSQL
 # texts that exercise the newline hard break, multi-line merging, and mixed
 # whitespace gaps around gazetteer surfaces
 NEWLINE_TEXTS = [
-    "spark\nspark",                     # newline gap: two PRODUCT mentions
+    "spark\nSpark",                     # newline + title-case: block breaks
     "spark spark",                      # space gap: one merged mention
-    "spark \n spark",                   # space+newline+space: still two
+    "spark \n spark",                   # newline + lowercase: merges
     "spark\tspark",                     # tab gap: merged (no newline)
-    "big data\nwindow opened",          # multi-word term then newline
-    "the table\nand the table again",   # newline between same-type terms
+    "big data\nWindow opened",          # multi-word term, break at title
+    "the table\nand the table again",   # lowercase after newline: merges
     "spark. spark",                     # punctuation gap: two mentions
-    "key said spark\nspark and spark",  # merge on one side of the break
+    "key said spark\nSpark and spark",  # break, then non-adjacent match
     "vector",
     "plain text with no entities here",
+    "spark\nspark",                     # lowercase after newline: merges
 ]
 
 
@@ -70,8 +72,6 @@ def test_mention_oracle_matches_engine_on_newline_text(spark, newline_dir):
         ).fetchall()
     )
     assert eng == orc
-    # and the newline break actually fired: doc 0 has TWO spark mentions
-    doc0 = [r for r in eng if r[4] <= 11 and r[5] == "spark"]
     assert len([r for r in eng if r[5] == "spark"]) >= 2
 
 
@@ -82,11 +82,11 @@ def test_newline_vs_space_merge_semantics(spark, newline_dir):
         # conv-0000 turn 0 is doc 0 etc. (doc_id = turn_idx*40 + conv bucket)
         key = (r["conv_id"], r["turn_idx"])
         by_doc.setdefault(key, []).append((r["type"], r["start"], r["end"]))
-    # doc 0 'spark\nspark' → two mentions; doc 1 'spark spark' → one merged
     def doc_key(i):
         return (f"conv-{i % 40:04d}", i // 40)
 
-    assert len(by_doc[doc_key(0)]) == 2
-    assert len(by_doc[doc_key(1)]) == 1
-    assert len(by_doc[doc_key(2)]) == 2   # 'spark \n spark'
+    assert len(by_doc[doc_key(0)]) == 2   # 'spark\nSpark': title → break
+    assert len(by_doc[doc_key(1)]) == 1   # space gap merges
+    assert len(by_doc[doc_key(2)]) == 1   # newline + lowercase merges
     assert len(by_doc[doc_key(3)]) == 1   # tab gap merges
+    assert len(by_doc[doc_key(10)]) == 1  # 'spark\nspark' merges
