@@ -226,6 +226,97 @@ def kg_mention_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("type")
 
 
+_WORDS_WITH_OFFSETS = """
+aggregate(
+  split(text, ' '),
+  named_struct('pos', 0, 'ws', CAST(array() AS array<struct<w:string,st:int>>)),
+  (acc, x) -> named_struct(
+    'pos', acc.pos + length(x) + 1,
+    'ws', concat(acc.ws, array(named_struct('w', x, 'st', acc.pos)))),
+  acc -> acc.ws)
+"""
+
+
+def _subtokens(t: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, b0, b1): the engine tokenizer's subtoken char
+    bounds derived with builtin expressions (space-split words with running
+    offsets, fixed 4-char pieces) — the SQL-expressible form valid on the
+    driver corpus's single-spaced input domain, matching subtok_ctes in the
+    oracle."""
+    return (
+        t.select("conv_id", "turn_idx", F.explode(F.expr(_WORDS_WITH_OFFSETS)).alias("wp"))
+        .select(
+            "conv_id", "turn_idx",
+            F.col("wp.w").alias("w"), F.col("wp.st").alias("st"),
+        )
+        .filter(F.col("w") != "")
+        .select(
+            "conv_id", "turn_idx", "w", "st",
+            F.explode(
+                F.expr("sequence(0, CAST(ceil(length(w) / 4.0) AS INT) - 1)")
+            ).alias("k"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            (F.col("st") + F.col("k") * 4).alias("b0"),
+            (
+                F.col("st") + F.col("k") * 4
+                + F.least(F.lit(4), F.length("w") - F.col("k") * 4)
+            ).alias("b1"),
+        )
+    )
+
+
+def kg_mention_eval_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 in the reference's own form (neural_network/utils.py:143-180):
+    TOKEN-level entity-vs-O binarized micro precision/recall per type plane —
+    a token (subtoken) counts as predicted/gold when any mention interval of
+    that type covers it. Complements kg_mention_eval's span-level variant."""
+    from runne_contrastive_ner_spark.functions.vocab import EVAL_GOLD_GAZETTEER
+
+    t = from_documents(spark, sf_dir)
+    subs = _subtokens(t)
+
+    def coverage(mentions: DataFrame) -> DataFrame:
+        m = mentions.select("conv_id", "turn_idx", "type", "start", "end")
+        return (
+            subs.join(m, ["conv_id", "turn_idx"])
+            .filter((F.col("b0") >= F.col("start")) & (F.col("b1") <= F.col("end")))
+            .select("conv_id", "turn_idx", "type", "b0")
+            .distinct()
+        )
+
+    p_cov = coverage(extract_mentions(t)).withColumn("p", F.lit(1))
+    g_cov = coverage(extract_mentions(t, gazetteer=EVAL_GOLD_GAZETTEER)).withColumn(
+        "g", F.lit(1)
+    )
+    joined = p_cov.join(g_cov, ["conv_id", "turn_idx", "type", "b0"], "full_outer")
+    per_type = joined.groupBy("type").agg(
+        F.sum(F.when(F.col("p").isNotNull() & F.col("g").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(F.col("p").isNotNull() & F.col("g").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(F.col("p").isNull() & F.col("g").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    return per_type.select(
+        "type",
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)), 6).alias(
+            "precision"
+        ),
+        F.round(F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)), 6).alias(
+            "recall"
+        ),
+    ).orderBy("type")
+
+
 def kg_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4+J5 at graph scale: connected components over the embedding-cosine
     similarity graph (the contrastive-linking edge source, M9/M10), labels
@@ -338,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_freqs": kg_type_freqs,
         "kg_embedding_components": kg_embedding_components,
         "kg_mention_eval": kg_mention_eval,
+        "kg_mention_eval_token": kg_mention_eval_token,
         "kg_entity_degrees": kg_entity_degrees,
         "kg_conv_summaries": kg_conv_summaries,
         # training-prep family (SURVEY.md §3.2: T8/T9, M11-M13, A3/A4, J3)

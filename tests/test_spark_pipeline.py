@@ -94,9 +94,15 @@ class TestLinking:
 
     def test_embedding_edges_shape(self, spark, transcripts):
         nodes = entity_nodes(extract_mentions(transcripts))
-        e = embedding_edges(nodes, threshold=-1.1)  # accept all pairs
+        # exact baseline: threshold below -1 accepts every pair
+        e = embedding_edges(nodes, threshold=-1.1, method="exact")
         n = nodes.count()
         assert e.count() == n * (n - 1) // 2
+        # default LSH path emits a subset of pairs (bucket candidates only)
+        lsh = embedding_edges(nodes, threshold=-1.1)
+        lsh_rows = {tuple(r) for r in lsh.collect()}
+        all_rows = {tuple(r) for r in e.collect()}
+        assert lsh_rows <= all_rows and len(lsh_rows) > 0
 
 
 class TestPredicates:
