@@ -37,8 +37,21 @@ from runne_contrastive_ner_spark.sources.transcripts import from_documents
 
 # --- KG pipeline queries ----------------------------------------------------
 
+# the mention scan (the expensive pandas-UDF stage) is shared by the whole
+# kg_*/tr_* family: memoize one persisted lineage per (session, sf_dir) —
+# released together with the linked lineage by release_linked()
+_MENTIONS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _MENTIONS_CACHE:
+        _MENTIONS_CACHE[key] = extract_mentions(from_documents(spark, sf_dir)).persist()
+    return _MENTIONS_CACHE[key]
+
+
 def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_mentions(from_documents(spark, sf_dir))
+    return _mentions(spark, sf_dir)
 
 
 # one linked lineage per sf_dir, shared by the whole kg_* family: the gate
@@ -54,11 +67,10 @@ def _linked(spark: SparkSession, sf_dir: str):
     hit = _LINKED_CACHE.get(key)
     if hit is not None:
         return hit["result"]
-    release_linked()
+    release_linked(keep_mentions=True)
     registry: list[DataFrame] = []
-    mentions = extract_mentions(from_documents(spark, sf_dir))
     entities, edges, linked = canonicalize(
-        spark, mentions, persist_registry=registry
+        spark, _mentions(spark, sf_dir), persist_registry=registry
     )
     # linked feeds kg_triples, kg_conv_summaries, and kg_entity_degrees in the
     # same run — persist it too so the mentions→entities join runs once
@@ -81,8 +93,10 @@ def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entry_["triples"]
 
 
-def release_linked() -> None:
-    """Unpersist every DataFrame cached by ``_linked`` (all sf_dirs)."""
+def release_linked(keep_mentions: bool = False) -> None:
+    """Unpersist every DataFrame cached by ``_linked`` / ``_mentions``
+    (all sf_dirs). ``keep_mentions`` preserves the mention-scan cache (used
+    when rotating the linked lineage to a new sf_dir mid-session)."""
     for entry_ in _LINKED_CACHE.values():
         for df in entry_["registry"]:
             try:
@@ -90,6 +104,13 @@ def release_linked() -> None:
             except Exception:
                 pass  # session already stopped
     _LINKED_CACHE.clear()
+    if not keep_mentions:
+        for df in _MENTIONS_CACHE.values():
+            try:
+                df.unpersist(blocking=True)
+            except Exception:
+                pass
+        _MENTIONS_CACHE.clear()
 
 
 def kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,7 +213,7 @@ def kg_mention_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from runne_contrastive_ner_spark.functions.vocab import EVAL_GOLD_GAZETTEER
 
     t = from_documents(spark, sf_dir)
-    pred = extract_mentions(t).select("conv_id", "turn_idx", "type", "start", "end")
+    pred = _mentions(spark, sf_dir).select("conv_id", "turn_idx", "type", "start", "end")
     gold = extract_mentions(t, gazetteer=EVAL_GOLD_GAZETTEER).select(
         "conv_id", "turn_idx", "type", "start", "end"
     )
@@ -287,7 +308,7 @@ def kg_mention_eval_token(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    p_cov = coverage(extract_mentions(t)).withColumn("p", F.lit(1))
+    p_cov = coverage(_mentions(spark, sf_dir)).withColumn("p", F.lit(1))
     g_cov = coverage(extract_mentions(t, gazetteer=EVAL_GOLD_GAZETTEER)).withColumn(
         "g", F.lit(1)
     )
@@ -466,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_bruteforce_topk": sim.ann_bruteforce_topk,
         "sim_lsh_buckets": sim.lsh_bucket_assignments,
         "sim_ann_lsh_topk": sim.ann_lsh_topk,
+        "sim_ann_ivf_topk": sim.ann_ivf_topk,
         # text analysis
         "ts_lang_id": ts.lang_id_heuristic,
         "ts_quality_scores": ts.quality_scores,

@@ -86,50 +86,70 @@ _T_MID = _AS_ROWS(TRANS_MID_SUBWORD)
 _T_WORD = _AS_ROWS(TRANS_WHOLE_WORD)
 
 
+_WIDTH_PATTERNS: dict[int, tuple] = {1: (_T_WORD,)}
+
+
+def _width_pattern(width: int) -> tuple:
+    pat = _WIDTH_PATTERNS.get(width)
+    if pat is None:
+        pat = (_T_INIT, *([_T_MID] * (width - 2)), _T_FIN)
+        _WIDTH_PATTERNS[width] = pat
+    return pat
+
+
 def word_transition_stack(
     words: list[tuple[str, int, int]],
 ) -> list[tuple[tuple[float, ...], ...]]:
     """Per-subtoken transition matrix chosen by word shape
-    (postprocessing.py:128-138). ``words[i] = (text, first_sub, last_sub_excl)``."""
+    (postprocessing.py:128-138). ``words[i] = (text, first_sub, last_sub_excl)``.
+    Width patterns are memoized (word widths repeat heavily)."""
     stack: list[tuple[tuple[float, ...], ...]] = []
+    extend = stack.extend
     for _text, first, last in words:
         width = last - first
         if width <= 0:
             raise ValueError(f"word has empty subtoken range [{first},{last})")
-        if width == 1:
-            stack.append(_T_WORD)
-        else:
-            stack.append(_T_INIT)
-            stack.extend([_T_MID] * (width - 2))
-            stack.append(_T_FIN)
+        extend(_width_pattern(width))
     return stack
 
 
-def greedy_decode(proba: np.ndarray, transitions: list) -> np.ndarray:
+def greedy_decode(proba: np.ndarray, transitions: list) -> list[int]:
     """Iterative constrained greedy pass. Ties -> lowest class index
-    (strict > like postprocessing.py:71,83); initial state O."""
-    n = proba.shape[0]
+    (strict > like postprocessing.py:71,83); initial state O. Returns a
+    plain int list (the kernel hot loop; identical comparisons to the
+    previous ndarray form, unrolled over the 5 classes)."""
     rows = proba.tolist()
-    states = np.empty(n, dtype=np.int64)
+    states: list[int] = []
+    append = states.append
     prev = O
-    for t in range(n):
-        p = rows[t]
+    for t, p in enumerate(rows):
         trans = transitions[t][prev]
+        # unrolled strict-> argmax over the 5 classes: first maximum wins
         best = 0
         best_score = p[0] * trans[0]
-        for s in range(1, N_CLASSES):
-            score = p[s] * trans[s]
-            if score > best_score:  # strict >: first maximum wins
-                best_score = score
-                best = s
+        s1 = p[1] * trans[1]
+        if s1 > best_score:
+            best_score = s1
+            best = 1
+        s2 = p[2] * trans[2]
+        if s2 > best_score:
+            best_score = s2
+            best = 2
+        s3 = p[3] * trans[3]
+        if s3 > best_score:
+            best_score = s3
+            best = 3
+        s4 = p[4] * trans[4]
+        if s4 > best_score:
+            best = 4
         prev = best
-        states[t] = best
+        append(best)
     return states
 
 
-def spans_from_states(states: np.ndarray) -> list[tuple[int, int]]:
+def spans_from_states(states) -> list[tuple[int, int]]:
     """Maximal runs of non-O states as half-open subtoken spans
-    (postprocessing.py:151-163)."""
+    (postprocessing.py:151-163). Accepts any int sequence."""
     spans: list[tuple[int, int]] = []
     run_start = -1
     for idx, s in enumerate(states):
@@ -148,7 +168,10 @@ def decode_entity_spans(
     proba: np.ndarray, words: list[tuple[str, int, int]]
 ) -> list[tuple[int, int]]:
     """Full M4→M6 path: validate, decode within the word range (outside
-    positions are O, postprocessing.py:145-150), extract spans."""
+    positions are O, postprocessing.py:145-150), extract spans. Runs are
+    extracted from the inner decode directly and offset by the word-range
+    start (positions outside the range are O by construction, so no full-
+    length state vector is materialized)."""
     validate_probabilities(proba)
     if not words:
         return []
@@ -156,9 +179,7 @@ def decode_entity_spans(
     last = words[-1][2]
     transitions = word_transition_stack(words)
     inner = greedy_decode(proba[first:last], transitions)
-    full = np.zeros(proba.shape[0], dtype=np.int64)
-    full[first:last] = inner
-    return spans_from_states(full)
+    return [(a + first, b + first) for a, b in spans_from_states(inner)]
 
 
 def subtoken_spans_to_char_spans(

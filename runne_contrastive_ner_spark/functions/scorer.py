@@ -82,6 +82,11 @@ def words_from_pieces(pieces: list[str]) -> list[tuple[str, int, int]]:
 
 
 class GazetteerScorer(Scorer):
+    # planes are PROBABILITIES, not logits: downstream skips the softmax
+    # (mathematically softmax(log p) just renormalizes p; emitting p directly
+    # removes a log+exp round-trip from the kernel hot path)
+    emits_proba = True
+
     def __init__(self, gazetteer: dict[str, str], entity_types: list[str], window: int = DEFAULT_WINDOW):
         """gazetteer: normalized surface form (possibly multi-word) -> type."""
         self.entity_types = list(entity_types)
@@ -107,18 +112,21 @@ class GazetteerScorer(Scorer):
     def score_pieces(self, pieces: list[str]) -> np.ndarray:
         n = len(pieces)
         active = self.score_pieces_active(pieces)
-        default = np.log(self._default_plane(n))
-        dense = np.tile(default, (len(self.entity_types), 1, 1))
+        dense = np.tile(self._default_plane(n), (len(self.entity_types), 1, 1))
         for t_idx, plane in active.items():
             dense[t_idx] = plane
         return dense
 
-    def score_pieces_active(self, pieces: list[str]) -> dict[int, np.ndarray]:
-        """Sparse scoring: build (and log) only the planes that matched —
+    def score_pieces_active(
+        self, pieces: list[str], words: list[tuple[str, int, int]] | None = None
+    ) -> dict[int, np.ndarray]:
+        """Sparse scoring: build only the probability planes that matched —
         the hot-path form; for a 29-type vocabulary with a handful of
-        matching types this avoids ~90% of the allocation and exp/log work
-        while producing byte-identical planes for the active types."""
-        words = words_from_pieces(pieces)
+        matching types this avoids ~90% of the allocation work. ``words``
+        (the tokenizer's (text, first_sub, last_sub_excl) list) can be passed
+        to skip re-deriving word structure from the pieces."""
+        if words is None:
+            words = words_from_pieces(pieces)
         norm_words = [normalize_word_cached(w) for w, _, _ in words]
         n = len(pieces)
         n_words = len(norm_words)
@@ -139,7 +147,7 @@ class GazetteerScorer(Scorer):
                 first_sub = words[w_i][1]
                 last_sub = words[w_i + k - 1][2]  # exclusive
                 self._mark(planes[t_idx], first_sub, last_sub)
-        return {t: np.log(p) for t, p in planes.items()}
+        return planes
 
     @staticmethod
     def _mark(plane: np.ndarray, first: int, last: int) -> None:
@@ -309,19 +317,30 @@ def score_windows(scorer: Scorer, pieces: list[str], window: int | None = None) 
 
 
 def score_windows_active(
-    scorer: Scorer, pieces: list[str], window: int | None = None
+    scorer: Scorer,
+    pieces: list[str],
+    window: int | None = None,
+    words: list[tuple[str, int, int]] | None = None,
 ) -> dict[int, np.ndarray]:
     """Sparse form of ``score_windows``: same window slicing and re-stack,
     but only type planes with evidence in at least one window are
-    materialized (stitched against the default all-O plane elsewhere)."""
+    materialized (stitched against the default all-O plane elsewhere).
+    Planes are in the scorer's native space (probabilities when the scorer
+    sets ``emits_proba``, logits otherwise). ``words`` is forwarded to the
+    scorer only in the single-window case (a window slice has its own
+    window-local word structure)."""
     if not pieces:
         return {}
     w = window or getattr(scorer, "window", DEFAULT_WINDOW)
     n = len(pieces)
-    padded = list(pieces) + ["[PAD]"] * ((-n) % w)
-    window_actives = [
-        scorer.score_pieces_active(padded[i : i + w]) for i in range(0, len(padded), w)
-    ]
+    if n <= w and words is not None and getattr(scorer, "emits_proba", False):
+        window_actives = [scorer.score_pieces_active(pieces, words=words)]
+    else:
+        padded = list(pieces) + ["[PAD]"] * ((-n) % w)
+        window_actives = [
+            scorer.score_pieces_active(padded[i : i + w])
+            for i in range(0, len(padded), w)
+        ]
     active_types = set()
     for wa in window_actives:
         active_types.update(wa)
@@ -337,7 +356,9 @@ def score_windows_active(
             else:
                 if default_chunk is None:
                     maker = getattr(scorer, "_default_plane", _uniform_default)
-                    default_chunk = np.log(maker(w))
+                    default_chunk = maker(w)
+                    if not getattr(scorer, "emits_proba", False):
+                        default_chunk = np.log(default_chunk)
                 chunks.append(default_chunk)
         out[t_idx] = np.concatenate(chunks, axis=0)[:n]
     return out

@@ -71,9 +71,10 @@ def detect_mentions_in_text(text: str, scorer: Scorer) -> list[tuple[str, int, i
         # sparse scoring: only type planes with evidence are materialized;
         # absent planes are the all-O default, which provably decodes to
         # all-O (see Scorer.score_pieces_active) — the exact fast path
-        active = score_windows_active(scorer, pieces)
-        for t_idx, logits in active.items():
-            proba = softmax(logits, axis=-1)
+        active = score_windows_active(scorer, pieces, words=words)
+        emits_proba = getattr(scorer, "emits_proba", False)
+        for t_idx, plane in active.items():
+            proba = plane if emits_proba else softmax(plane, axis=-1)
             if np.all(proba[:, O] / 3.0 > proba[:, 1:].max(axis=1)):
                 continue
             spans = decode_entity_spans(proba, words)

@@ -159,6 +159,96 @@ def lsh_candidate_pairs(
     )
 
 
+N_CELLS = 8
+CENTROID_STRIDE = 13
+
+
+def _dist2(va: str, vb: str) -> str:
+    return (
+        f"aggregate(zip_with({va}, {vb}, (x, y) -> (x - y) * (x - y)),"
+        f" 0D, (acc, z) -> acc + z)"
+    )
+
+
+def ivf_cell_assignments(
+    spark: SparkSession, sf_dir: str, n_cells: int = N_CELLS
+) -> DataFrame:
+    """(vec_id, cell): IVF coarse quantization. Centroids are the vectors at
+    vec_id = c * CENTROID_STRIDE (deterministic, portable to the DuckDB
+    oracle — a real deployment trains them with k-means, which only changes
+    the centroid table, not this plan). Assignment = argmin squared
+    euclidean distance, ties to the smaller cell id (struct-min, so the
+    choice is deterministic under any parallelism). The centroid table is K
+    rows — broadcast; the assignment stage is a narrow map + one per-vector
+    reduction, no shuffle of the embedding table."""
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(
+        (F.col("vec_id") % CENTROID_STRIDE == 0)
+        & (F.col("vec_id") < CENTROID_STRIDE * n_cells)
+    ).select(
+        (F.col("vec_id") / CENTROID_STRIDE).cast("int").alias("cell"),
+        F.col("v").alias("cv"),
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "dist2", F.expr(_dist2("v", "cv"))
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist2", "cell")).alias("m")
+    )
+    return best.select("vec_id", F.col("m.cell").alias("cell"))
+
+
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 3,
+    n_cells: int = N_CELLS,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF ANN: each query probes its ``n_probe`` nearest cells and ranks
+    only the vectors assigned there — candidates per query ≈ n_probe × N /
+    n_cells instead of N. Equi-join on cell id; no quadratic stage. The
+    exact-cosine re-rank uses the same fold arithmetic as the oracle."""
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(
+        (F.col("vec_id") % CENTROID_STRIDE == 0)
+        & (F.col("vec_id") < CENTROID_STRIDE * n_cells)
+    ).select(
+        (F.col("vec_id") / CENTROID_STRIDE).cast("int").alias("cell"),
+        F.col("v").alias("cv"),
+    )
+    assign = ivf_cell_assignments(spark, sf_dir, n_cells)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("va")
+    )
+    wq = Window.partitionBy("query_id").orderBy("qdist2", "cell")
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("qdist2", F.expr(_dist2("va", "cv")))
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "va", "cell")
+    )
+    cands = emb.join(assign, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"), "cell"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    return (
+        probes.join(cands, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_raw", F.expr(_cos("va", "vb")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cos"),
+        )
+    )
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 3) -> DataFrame:
     """Approximate top-k: rank only within the query's LSH bucket. Bucket
     assignment + equi-join on bucket — no quadratic stage."""

@@ -302,6 +302,46 @@ SIMILARITY: dict[str, str] = {
                  FOR p IN range(0, 6)])::BIGINT AS bucket
         FROM e
     """,
+    "sim_ann_ivf_topk": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (
+          SELECT (vec_id // 13)::INT AS cell, v AS cv FROM e
+          WHERE vec_id % 13 = 0 AND vec_id < 13 * 8
+        ),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_sum([(e.v[d] - c.cv[d]) * (e.v[d] - c.cv[d]) FOR d IN range(1, 65)]), c.cell) AS rn
+            FROM e CROSS JOIN cents c
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT query_id, va, cell FROM (
+            SELECT e.vec_id AS query_id, e.v AS va, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_sum([(e.v[d] - c.cv[d]) * (e.v[d] - c.cv[d]) FOR d IN range(1, 65)]), c.cell) AS prn
+            FROM e CROSS JOIN cents c
+            WHERE e.vec_id < 10
+          ) WHERE prn <= 2
+        ),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 list_sum([p.va[d] * e2.v[d] FOR d IN range(1, 65)]) / (sqrt(list_sum([p.va[d] * p.va[d] FOR d IN range(1, 65)])) * sqrt(list_sum([e2.v[d] * e2.v[d] FOR d IN range(1, 65)]))) AS cos_raw
+          FROM probes p
+          JOIN assign a ON a.cell = p.cell
+          JOIN e e2 ON e2.vec_id = a.vec_id
+          WHERE a.vec_id <> p.query_id
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_raw DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+               neighbor_id::BIGINT AS neighbor_id, round(cos_raw, 6)::DOUBLE AS cos
+        FROM ranked WHERE rank <= 3
+    """,
     "sim_ann_lsh_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         eb AS (

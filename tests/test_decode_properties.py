@@ -67,7 +67,7 @@ def proba_matrices(draw):
 def test_iterative_equals_recursive(case):
     proba, words = case
     transitions = D.word_transition_stack(words)
-    iterative = D.greedy_decode(proba, transitions).tolist()
+    iterative = list(D.greedy_decode(proba, transitions))
     sys.setrecursionlimit(10000)
     recursive = recursive_reference_decode(proba, transitions)
     assert iterative == recursive
@@ -95,4 +95,4 @@ def test_recursive_overflows_where_iterative_survives():
     words = [(f"w{i}", i, i + 1) for i in range(n)]
     transitions = D.word_transition_stack(words)
     out = D.greedy_decode(p, transitions)
-    assert out.shape[0] == n
+    assert len(out) == n

@@ -78,6 +78,71 @@ class TestStreaming:
 
 
 class TestSkewBalance:
+    def test_stateful_sessionization_matches_batch(self, spark, tmp_path):
+        """applyInPandasWithState carries per-user session state across
+        micro-batches: 2 time-ordered files × maxFilesPerTrigger=1 forces 2
+        batches; final counters must equal the batch gaps-and-islands
+        computation."""
+        from pyspark.sql import Window
+
+        from runne_contrastive_ner_spark.streaming.incremental import (
+            streaming_sessionization,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # stage into two files split at the median epoch so state must carry over
+        with_epoch = events.withColumn(
+            "ep", F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+        )
+        median = with_epoch.approxQuantile("ep", [0.5], 0.0)[0]
+        events_dir = str(tmp_path / "events_staged")
+        early = with_epoch.filter(F.col("ep") <= median).drop("ep")
+        late = with_epoch.filter(F.col("ep") > median).drop("ep")
+        early.coalesce(1).write.parquet(events_dir)
+        time.sleep(1.1)  # distinct mtimes: FileStreamSource reads early first
+        late.coalesce(1).write.mode("append").parquet(events_dir)
+
+        q = streaming_sessionization(
+            spark,
+            events_dir,
+            str(tmp_path / "ckpt_sess"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+        got = (
+            spark.table("user_sessions")
+            .groupBy("user_id")
+            .agg(
+                F.max("n_sessions").alias("n_sessions"),
+                F.max("n_events").alias("n_events"),
+            )
+        )
+        # batch reference: gaps-and-islands over event epochs per user
+        w = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+        batch = (
+            events.withColumn(
+                "epoch", F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+            )
+            .withColumn("prev", F.lag("epoch").over(w))
+            .withColumn(
+                "new_session",
+                F.when(
+                    F.col("prev").isNull() | (F.col("epoch") - F.col("prev") > 1800), 1
+                ).otherwise(0),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.sum("new_session").alias("n_sessions"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        )
+        got_rows = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in got.collect()}
+        batch_rows = {
+            r["user_id"]: (r["n_sessions"], r["n_events"]) for r in batch.collect()
+        }
+        assert got_rows == batch_rows
+
     def test_salted_repartition_spreads_long_conversation(self, spark):
         """One conversation 10x longer than the rest must not pin a single
         task: with salting on (conv_id, turn_idx) the max partition holds a
