@@ -105,6 +105,16 @@ def extract_mentions(
         # skew guard: hash on (conv_id, turn_idx) so one long conversation
         # never pins a single task (SURVEY.md §7.2)
         src = src.repartition(salt_partitions, F.col("conv_id"), F.col("turn_idx"))
+    else:
+        # parallelism floor: a small parquet input arrives as ONE split, which
+        # would pin the whole pandas-UDF scan to a single core. At production
+        # scale the input has >= defaultParallelism splits and this is a
+        # no-op (no exchange added); below it, one cheap round-robin shuffle
+        # of the raw text buys full-cluster fan-out of the expensive stage.
+        spark = transcripts.sparkSession
+        target = spark.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < target:
+            src = src.repartition(target, F.col("conv_id"), F.col("turn_idx"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         scorer = factory()  # once per task

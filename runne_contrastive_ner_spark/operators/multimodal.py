@@ -43,6 +43,11 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → media rows: payload = utf-8 bytes of text; metadata
     derived arithmetically from doc_id (deterministic, no external data)."""
     docs = load(spark, sf_dir, "documents")
+    # parallelism floor for the downstream pandas-UDF decode: a small parquet
+    # arrives as one split (no-op at production scale, see mentions.py)
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, F.col("doc_id"))
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
