@@ -494,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_token_stats_by_source": ts.token_stats_by_source,
         "ts_doc_fingerprints": ts.doc_fingerprints,
         "ts_bpe_token_counts": ts.bpe_token_counts,
+        "ts_pii_scrub_stats": ts.pii_scrub_stats,
+        "ts_chunk_windows": ts.chunk_windows,
     }
 
 

@@ -125,3 +125,79 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents")
         .select(F.col("doc_id").cast("bigint").alias("doc_id"), fp.alias("fingerprint"))
     )
+
+
+PII_PATTERNS = {
+    # exactly-specified RE2-compatible patterns so Spark regexp_count and
+    # DuckDB len(regexp_extract_all(...)) agree; a production scrubber
+    # extends the dict — the plan shape (one scan, per-pattern counts +
+    # one chained regexp_replace) is the part that matters at 100 TB
+    "email": "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}",
+    "url": "https?://[^ ]+",
+    "phone": "[0-9]{3}-[0-9]{3,4}-[0-9]{4}",
+}
+
+
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL scrubbing over the documents table: per-doc match counts per
+    pattern class plus the redacted length delta — the filter/cleaning stage
+    every pretraining pipeline runs before tokenization. One JVM-side scan,
+    no Python; masks applied innermost-first in dict order."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    out = docs
+    scrubbed = F.col("text")
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}", F.expr(f"regexp_count(text, '{pat}')").cast("bigint")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name}>")
+    out = out.withColumn(
+        "scrubbed_len", F.length(scrubbed).cast("bigint")
+    ).withColumn("orig_len", F.length("text").cast("bigint"))
+    return out.select(
+        "doc_id",
+        *[f"n_{name}" for name in PII_PATTERNS],
+        "orig_len",
+        "scrubbed_len",
+    )
+
+
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+
+
+def chunk_windows(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Training-window chunking: overlapping fixed-size token windows per
+    document (stride = chunk_tokens - overlap), the standard LM-pretraining
+    sharding step. Pure builtin expressions: one sequence over window starts
+    + slice, exploded — linear work, no shuffle before the explode."""
+    stride = chunk_tokens - overlap
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), _toks().alias("toks")
+    )
+    starts = F.expr(
+        f"sequence(0, greatest(CAST(ceil((size(toks) - {chunk_tokens}) /"
+        f" CAST({stride} AS DOUBLE)) AS INT), 0))"
+    )
+    return (
+        docs.filter(F.size("toks") > 0)
+        .select("doc_id", "toks", F.explode(starts).alias("w"))
+        .select(
+            "doc_id",
+            F.col("w").cast("bigint").alias("window_idx"),
+            F.expr(f"slice(toks, w * {stride} + 1, {chunk_tokens})").alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "window_idx",
+            F.size("chunk").cast("bigint").alias("n_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )

@@ -418,6 +418,36 @@ TEXTSTATS: dict[str, str] = {
                  AS n_ws_tokens
         FROM documents
     """,
+    "ts_pii_scrub_stats": """
+        SELECT doc_id::BIGINT AS doc_id,
+               len(regexp_extract_all(text,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}'))::BIGINT AS n_email,
+               len(regexp_extract_all(text, 'https?://[^ ]+'))::BIGINT AS n_url,
+               len(regexp_extract_all(text,
+                   '[0-9]{3}-[0-9]{3,4}-[0-9]{4}'))::BIGINT AS n_phone,
+               length(text)::BIGINT AS orig_len,
+               length(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}', '<email>', 'g'),
+                   'https?://[^ ]+', '<url>', 'g'),
+                   '[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<phone>', 'g'))::BIGINT
+                 AS scrubbed_len
+        FROM documents
+    """,
+    "ts_chunk_windows": """
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '), x -> x != '') AS toks
+                   FROM documents),
+        w AS (
+          SELECT doc_id, toks,
+                 unnest(range(0, greatest(ceil((len(toks) - 32) / 24.0)::BIGINT, 0) + 1))
+                   AS w
+          FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id::BIGINT AS doc_id, w::BIGINT AS window_idx,
+               len(toks[w * 24 + 1 : w * 24 + 32])::BIGINT AS n_tokens,
+               array_to_string(toks[w * 24 + 1 : w * 24 + 32], ' ') AS chunk_text
+        FROM w
+    """,
     "ts_doc_fingerprints": """
         SELECT doc_id::BIGINT AS doc_id,
                list_reduce(
