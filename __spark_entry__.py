@@ -132,6 +132,17 @@ def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _triples(spark, sf_dir)
 
 
+def kg_role_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-aware predicates: user-turn entity `elicits` assistant-reply
+    entity (conversation-structure predicate induction)."""
+    from runne_contrastive_ner_spark.operators.predicates import (
+        induce_role_predicates,
+    )
+
+    _, _, linked = _linked(spark, sf_dir)
+    return induce_role_predicates(linked, from_documents(spark, sf_dir))
+
+
 def kg_type_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A6 in its native form: entity-occurrence frequency report by type
     over detected mentions (train_test_split.py:6-24 semantics)."""
@@ -447,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities": kg_entities,
         "kg_edges": kg_edges,
         "kg_triples": kg_triples,
+        "kg_role_triples": kg_role_triples,
         "kg_type_freqs": kg_type_freqs,
         "kg_embedding_components": kg_embedding_components,
         "kg_mention_eval": kg_mention_eval,

@@ -138,3 +138,45 @@ def induce_predicates(
     # construction — a distinct here would shuffle the full triple set for
     # nothing (removing it made the stage shuffle-free after the window)
     return same_turn.select(*cols).unionByName(follows.select(*cols))
+
+
+PRED_ELICITS = "elicits"
+
+
+def induce_role_predicates(linked: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """Role-aware predicate induction over conversation structure: subj is
+    an entity mentioned in a USER turn, obj an entity mentioned in the
+    ASSISTANT turn that immediately follows — the question→answer entity
+    flow (`elicits`). Same scale shape as induce_predicates: one shuffle to
+    per-(turn, role) entity sets, then an equi-join on (conv_id, turn_idx)
+    with a +1 offset; rows are unique by construction (set explodes keyed by
+    the evidence turn)."""
+    roled = linked.join(
+        transcripts.select("conv_id", "turn_idx", "role"),
+        ["conv_id", "turn_idx"],
+    )
+    turns = (
+        roled.groupBy("conv_id", "turn_idx", "role")
+        .agg(F.array_sort(F.collect_set("canonical_id")).alias("ents"))
+    )
+    user = turns.filter(F.col("role") == "user").select(
+        "conv_id",
+        F.col("turn_idx").alias("src_turn_idx"),
+        F.explode("ents").alias("subj"),
+    )
+    asst = turns.filter(F.col("role") == "assistant").select(
+        "conv_id",
+        (F.col("turn_idx") - 1).alias("src_turn_idx"),
+        F.explode("ents").alias("obj"),
+    )
+    return (
+        user.join(asst, ["conv_id", "src_turn_idx"])
+        .filter(F.col("subj") != F.col("obj"))
+        .select(
+            "conv_id",
+            "subj",
+            F.lit(PRED_ELICITS).alias("pred"),
+            "obj",
+            "src_turn_idx",
+        )
+    )

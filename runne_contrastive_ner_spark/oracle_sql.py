@@ -789,6 +789,22 @@ SELECT type, sum(is_tp)::BIGINT AS tp, sum(is_fp)::BIGINT AS fp,
        round(sum(is_tp) / greatest(sum(is_tp) + sum(is_fn), 1), 6)::DOUBLE AS recall
 FROM joined GROUP BY type ORDER BY type
     """,
+    "kg_role_triples": f"""
+WITH RECURSIVE placeholder AS (SELECT 1),
+{kg_common_ctes()[5:]},
+role_ents AS (
+  SELECT DISTINCT m.conv_id, m.turn_idx, t.role, e.canonical_id
+  FROM mentions m
+  JOIN entities e ON e.surface_norm = m.surface_norm
+  JOIN transcripts t ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
+)
+SELECT u.conv_id, u.canonical_id AS subj, 'elicits' AS pred,
+       a.canonical_id AS obj, u.turn_idx AS src_turn_idx
+FROM role_ents u
+JOIN role_ents a ON a.conv_id = u.conv_id AND a.turn_idx = u.turn_idx + 1
+WHERE u.role = 'user' AND a.role = 'assistant'
+  AND u.canonical_id <> a.canonical_id
+    """,
     "kg_type_freqs": f"""
 WITH RECURSIVE placeholder AS (SELECT 1),
 {kg_common_ctes()[5:]}
