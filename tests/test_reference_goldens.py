@@ -374,3 +374,68 @@ def test_decode_entity_goldens(probas, expected):
 
     proba = np.array(probas, dtype=np.float64)
     assert decode_entity_spans(proba, DECODE_WORDS) == expected
+
+
+# --- property tests for the rewritten kernels -------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TEXT_ALPHABET = st.sampled_from(
+    list("ab cd. e!?\n\r\t«»\"'мама. Xy 09–") + ["​"]  # incl. ZWSP
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_TEXT_ALPHABET, max_size=120).map("".join))
+def test_sentenize_invariants(s):
+    bounds = sentenize_text(s)
+    prev_end = -1
+    for a, b in bounds:
+        assert 0 <= a < b <= len(s)
+        assert a >= prev_end  # ordered, non-overlapping
+        prev_end = b
+        # trimmed: sentence never starts/ends with whitespace (ZWSP is
+        # whitespace to the sentenizer via the space substitution)
+        assert not s[a].isspace() and s[a] != "​"
+        assert not s[b - 1].isspace() and s[b - 1] != "​"
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_TEXT_ALPHABET, max_size=80).map("".join))
+def test_tokenize_words_offsets_exact(s):
+    cleaned = s.replace("​", " ")
+    prev_end = 0
+    for w, a, b in tokenize_words(s):
+        assert 0 <= a < b <= len(s)
+        assert a >= prev_end
+        prev_end = b
+        assert cleaned[a:b] == w
+        assert not w[0].isspace()
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_TEXT_ALPHABET, max_size=80).map("".join))
+def test_subtokens_tile_words_property(s):
+    words, subtokens = tokenize_text(s)
+    cleaned = s.replace("​", " ")
+    for w, first, last in words:
+        assert last > first
+        assert "".join(p.removeprefix("##") for p, _, _ in subtokens[first:last]) == w
+        assert cleaned[subtokens[first][1] : subtokens[last - 1][2]] == w
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.sampled_from(list("ab`c ")), min_size=0, max_size=40).map("".join),
+    st.lists(st.sampled_from(list("abc")), min_size=0, max_size=8).map("".join),
+)
+def test_find_substring_result_invariant(s, sub):
+    """Whatever find_substring returns, the slice it points at reduces to the
+    substring after stripping placeholders (or the sentinel (-1,-1))."""
+    res = find_substring(s, sub)
+    if res == (-1, -1):
+        return
+    a, b = res
+    assert 0 <= a < b <= len(s)
+    assert s[a:b].replace("`", "") == sub
