@@ -34,6 +34,11 @@ class PipelineConfig:
     entity_types: list[str] = field(default_factory=lambda: list(ENTITY_TYPES))
     use_embedding_edges: bool = False
     salt_partitions: int | None = None
+    # mention/triple tables are written partitioned by this many conversation
+    # hash buckets: per-conversation reads prune to one directory, and a
+    # 1000-executor writer produces bounded file counts per bucket (the
+    # Iceberg deployment maps this to bucket(conv_id, N) partition transform)
+    lineage_buckets: int = 16
 
 
 @dataclass
@@ -53,15 +58,23 @@ def run_pipeline(
 
     base_fp = fingerprint(input_fp, sorted(cfg.gazetteer.items()), cfg.entity_types)
 
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(cfg.lineage_buckets))
+        )
+
     mentions = runner.run(
         "mentions",
-        fingerprint("mentions", base_fp, cfg.salt_partitions),
-        lambda: extract_mentions(
-            transcripts,
-            gazetteer=cfg.gazetteer,
-            entity_types=cfg.entity_types,
-            salt_partitions=cfg.salt_partitions,
+        fingerprint("mentions", base_fp, cfg.salt_partitions, cfg.lineage_buckets),
+        lambda: bucketed(
+            extract_mentions(
+                transcripts,
+                gazetteer=cfg.gazetteer,
+                entity_types=cfg.entity_types,
+                salt_partitions=cfg.salt_partitions,
+            )
         ),
+        partition_cols=["conv_bucket"],
         lineage_key="conv_id",
     )
 
@@ -108,8 +121,9 @@ def run_pipeline(
 
     triples = runner.run(
         "triples",
-        fingerprint("triples", link_fp, cfg.window_k),
-        build_triples,
+        fingerprint("triples", link_fp, cfg.window_k, cfg.lineage_buckets),
+        lambda: bucketed(build_triples()),
+        partition_cols=["conv_bucket"],
         lineage_key="conv_id",
     )
 

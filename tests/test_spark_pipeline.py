@@ -145,6 +145,34 @@ class TestPipeline:
         res3 = run_pipeline(spark, transcripts, cfg, input_fp="t2")
         assert res3.metrics["mentions"]["wall_sec"] != res1.metrics["mentions"]["wall_sec"]
 
+    def test_partition_pruning_on_conv_bucket(self, spark, transcripts, tmp_path):
+        """Mention/triple tables are written partitioned by conversation
+        hash bucket; a per-conversation read must prune to one directory
+        (PartitionFilters in the scan, not a full-table filter)."""
+        import contextlib
+        import io
+
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+
+        cfg = PipelineConfig(warehouse=str(tmp_path / "whp"), lineage_buckets=8)
+        run_pipeline(spark, transcripts, cfg, input_fp="prune")
+        io_ = TableIO(spark, cfg.warehouse)
+        triples = io_.read("triples")
+        conv = triples.select("conv_id").first()["conv_id"]
+        bucket = triples.filter(F.col("conv_id") == conv).select("conv_bucket").first()[
+            "conv_bucket"
+        ]
+        pruned = triples.filter(
+            (F.col("conv_bucket") == bucket) & (F.col("conv_id") == conv)
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            pruned.explain("formatted")
+        plan = buf.getvalue()
+        assert "PartitionFilters: [" in plan
+        assert "conv_bucket" in plan.split("PartitionFilters:")[1].split("]")[0]
+        assert pruned.count() > 0
+
     def test_normalized_triples_match_string_view(self, spark, transcripts, tmp_path):
         """The pipeline materializes triples with integer entity ids against
         the entities dictionary; joining back to canonical strings must
