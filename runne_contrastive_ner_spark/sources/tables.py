@@ -59,6 +59,17 @@ class TableIO:
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(self.path(table))
+        if partition_cols and not self._has_data_files(table):
+            # a partitionBy write of an EMPTY DataFrame emits _SUCCESS but no
+            # data files, which breaks schema inference on read-back; rewrite
+            # the empty table unpartitioned so the schema is preserved
+            df.limit(0).write.mode("overwrite").parquet(self.path(table))
+
+    def _has_data_files(self, table: str) -> bool:
+        for _root, _dirs, files in os.walk(self.path(table)):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def read(self, table: str) -> DataFrame:
         if self.use_iceberg:  # pragma: no cover

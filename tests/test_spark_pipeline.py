@@ -145,6 +145,16 @@ class TestPipeline:
         res3 = run_pipeline(spark, transcripts, cfg, input_fp="t2")
         assert res3.metrics["mentions"]["wall_sec"] != res1.metrics["mentions"]["wall_sec"]
 
+    def test_empty_input_all_stages_zero(self, spark, transcripts, tmp_path):
+        """limit(0) input: every stage runs, all counts 0, no crash — in
+        particular the partitioned empty write must stay schema-readable."""
+        cfg = PipelineConfig(warehouse=str(tmp_path / "wh0"))
+        res = run_pipeline(spark, transcripts.limit(0), cfg, input_fp="empty")
+        assert res.mentions.count() == 0
+        assert res.entities.count() == 0
+        assert res.edges.count() == 0
+        assert res.triples.count() == 0
+
     def test_partition_pruning_on_conv_bucket(self, spark, transcripts, tmp_path):
         """Mention/triple tables are written partitioned by conversation
         hash bucket; a per-conversation read must prune to one directory
