@@ -145,6 +145,35 @@ class TestPipeline:
         res3 = run_pipeline(spark, transcripts, cfg, input_fp="t2")
         assert res3.metrics["mentions"]["wall_sec"] != res1.metrics["mentions"]["wall_sec"]
 
+    def test_manifest_delete_recomputes_only_that_stage(
+        self, spark, transcripts, tmp_path
+    ):
+        import os
+
+        cfg = PipelineConfig(warehouse=str(tmp_path / "whm"))
+        res1 = run_pipeline(spark, transcripts, cfg, input_fp="m")
+        # count BEFORE the re-run: stage overwrite invalidates old handles
+        # (documented Parquet-fallback caveat in plans/manifest.py)
+        n1 = res1.triples.count()
+        os.remove(str(tmp_path / "whm" / "triples" / "_manifest.json"))
+        res2 = run_pipeline(spark, transcripts, cfg, input_fp="m")
+        # upstream stages skipped (identical manifests), triples recomputed
+        for stage in ("mentions", "entities", "edges"):
+            assert res2.metrics[stage]["wall_sec"] == res1.metrics[stage]["wall_sec"]
+        assert res2.metrics["triples"]["wall_sec"] != res1.metrics["triples"]["wall_sec"]
+        assert res2.triples.count() == n1
+
+    def test_window_k_change_recomputes_only_triples(self, spark, transcripts, tmp_path):
+        cfg = PipelineConfig(warehouse=str(tmp_path / "whk"))
+        res1 = run_pipeline(spark, transcripts, cfg, input_fp="k")
+        n1 = res1.triples.count()  # before the overwrite (stale-handle caveat)
+        cfg2 = PipelineConfig(warehouse=str(tmp_path / "whk"), window_k=1)
+        res2 = run_pipeline(spark, transcripts, cfg2, input_fp="k")
+        for stage in ("mentions", "entities", "edges"):
+            assert res2.metrics[stage]["wall_sec"] == res1.metrics[stage]["wall_sec"]
+        assert res2.metrics["triples"]["wall_sec"] != res1.metrics["triples"]["wall_sec"]
+        assert res2.triples.count() < n1  # smaller look-back window
+
     def test_empty_input_all_stages_zero(self, spark, transcripts, tmp_path):
         """limit(0) input: every stage runs, all counts 0, no crash — in
         particular the partitioned empty write must stay schema-readable."""
