@@ -143,6 +143,48 @@ def kg_role_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return induce_role_predicates(linked, from_documents(spark, sf_dir))
 
 
+def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-analytics consumer of the KG: per entity, distinct 1-hop and
+    2-hop neighbor counts over the undirected co-occurrence graph (the
+    "who is two conversations steps away" query) — two self-joins on the
+    symmetrized neighbor table, both equi-joins on entity id."""
+    spark_df = _triples(spark, sf_dir).filter(F.col("pred") == "co_occurs_with")
+    pairs = spark_df.select("subj", "obj").distinct()
+    nbrs = pairs.unionByName(
+        pairs.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    ).distinct()
+    one_hop = nbrs.groupBy("subj").agg(
+        F.countDistinct("obj").cast("bigint").alias("n_one_hop")
+    )
+    a = nbrs.alias("a")
+    b = nbrs.alias("b")
+    two = (
+        a.join(b, F.col("a.obj") == F.col("b.subj"))
+        .select(F.col("a.subj").alias("subj"), F.col("b.obj").alias("two_obj"))
+        .filter(F.col("subj") != F.col("two_obj"))
+        # exclude direct neighbors: two-hop-ONLY reach
+        .join(
+            nbrs.select(
+                F.col("subj").alias("subj"), F.col("obj").alias("two_obj")
+            ).withColumn("direct", F.lit(1)),
+            ["subj", "two_obj"],
+            "left",
+        )
+        .filter(F.col("direct").isNull())
+        .groupBy("subj")
+        .agg(F.countDistinct("two_obj").cast("bigint").alias("n_two_hop_only"))
+    )
+    return (
+        one_hop.join(two, "subj", "left")
+        .select(
+            F.col("subj").alias("canonical_id"),
+            "n_one_hop",
+            F.coalesce("n_two_hop_only", F.lit(0)).cast("bigint").alias("n_two_hop_only"),
+        )
+        .orderBy("canonical_id")
+    )
+
+
 def kg_type_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A6 in its native form: entity-occurrence frequency report by type
     over detected mentions (train_test_split.py:6-24 semantics)."""
@@ -459,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": kg_edges,
         "kg_triples": kg_triples,
         "kg_role_triples": kg_role_triples,
+        "kg_two_hop": kg_two_hop,
         "kg_type_freqs": kg_type_freqs,
         "kg_embedding_components": kg_embedding_components,
         "kg_mention_eval": kg_mention_eval,

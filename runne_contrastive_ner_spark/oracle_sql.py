@@ -805,6 +805,36 @@ JOIN role_ents a ON a.conv_id = u.conv_id AND a.turn_idx = u.turn_idx + 1
 WHERE u.role = 'user' AND a.role = 'assistant'
   AND u.canonical_id <> a.canonical_id
     """,
+    "kg_two_hop": f"""
+WITH RECURSIVE placeholder AS (SELECT 1),
+{kg_common_ctes()[5:]},
+turn_ents AS (
+  SELECT DISTINCT m.conv_id, m.turn_idx, e.canonical_id
+  FROM mentions m JOIN entities e ON e.surface_norm = m.surface_norm
+),
+co AS (
+  SELECT DISTINCT a.canonical_id AS subj, b.canonical_id AS obj
+  FROM turn_ents a JOIN turn_ents b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND a.canonical_id < b.canonical_id
+),
+nbrs AS (SELECT subj, obj FROM co UNION SELECT obj, subj FROM co),
+one_hop AS (SELECT subj, count(DISTINCT obj)::BIGINT AS n_one_hop FROM nbrs GROUP BY subj),
+two AS (
+  SELECT t.subj, count(DISTINCT t.two_obj)::BIGINT AS n_two_hop_only FROM (
+    SELECT a.subj, b.obj AS two_obj
+    FROM nbrs a JOIN nbrs b ON a.obj = b.subj
+    WHERE a.subj <> b.obj
+  ) t
+  LEFT JOIN nbrs d ON d.subj = t.subj AND d.obj = t.two_obj
+  WHERE d.subj IS NULL
+  GROUP BY t.subj
+)
+SELECT o.subj AS canonical_id, o.n_one_hop,
+       coalesce(t.n_two_hop_only, 0)::BIGINT AS n_two_hop_only
+FROM one_hop o LEFT JOIN two t ON t.subj = o.subj
+ORDER BY canonical_id
+    """,
     "kg_type_freqs": f"""
 WITH RECURSIVE placeholder AS (SELECT 1),
 {kg_common_ctes()[5:]}
