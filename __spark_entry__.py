@@ -156,8 +156,16 @@ def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     one_hop = nbrs.groupBy("subj").agg(
         F.countDistinct("obj").cast("bigint").alias("n_one_hop")
     )
+    # hub-entity skew bound: a degree-d hub emits d^2 rows through the
+    # two-hop self-join, so super-hubs are excluded from the EXPANSION
+    # (standard practice, same shape as the shingle df-cap); the cap is far
+    # above any degree in the driver corpus, and the oracle applies the
+    # identical cap
+    max_degree = 10_000
+    expandable = one_hop.filter(F.col("n_one_hop") <= max_degree).select("subj")
+    mid = nbrs.join(expandable.withColumnRenamed("subj", "obj"), "obj")
     a = nbrs.alias("a")
-    b = nbrs.alias("b")
+    b = mid.alias("b")
     two = (
         a.join(b, F.col("a.obj") == F.col("b.subj"))
         .select(F.col("a.subj").alias("subj"), F.col("b.obj").alias("two_obj"))
@@ -300,28 +308,25 @@ def kg_mention_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("type")
 
 
-_WORDS_WITH_OFFSETS = """
-aggregate(
-  split(text, ' '),
-  named_struct('pos', 0, 'ws', CAST(array() AS array<struct<w:string,st:int>>)),
-  (acc, x) -> named_struct(
-    'pos', acc.pos + length(x) + 1,
-    'ws', concat(acc.ws, array(named_struct('w', x, 'st', acc.pos)))),
-  acc -> acc.ws)
-"""
-
-
 def _subtokens(t: DataFrame) -> DataFrame:
     """(conv_id, turn_idx, b0, b1): the engine tokenizer's subtoken char
     bounds derived with builtin expressions (space-split words with running
     offsets, fixed 4-char pieces) — the SQL-expressible form valid on the
     driver corpus's single-spaced input domain, matching subtok_ctes in the
-    oracle."""
+    oracle. Offsets come from a running window sum over posexploded words
+    (linear; an array-concat accumulator would copy O(words²) per turn —
+    a real hazard on book-length documents)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("widx")
     return (
-        t.select("conv_id", "turn_idx", F.explode(F.expr(_WORDS_WITH_OFFSETS)).alias("wp"))
-        .select(
+        t.select(
             "conv_id", "turn_idx",
-            F.col("wp.w").alias("w"), F.col("wp.st").alias("st"),
+            F.posexplode(F.split("text", " ")).alias("widx", "w"),
+        )
+        .withColumn(
+            "st",
+            (F.sum(F.length("w") + 1).over(w) - F.length("w") - 1).cast("int"),
         )
         .filter(F.col("w") != "")
         .select(

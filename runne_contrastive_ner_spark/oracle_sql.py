@@ -820,10 +820,13 @@ co AS (
 ),
 nbrs AS (SELECT subj, obj FROM co UNION SELECT obj, subj FROM co),
 one_hop AS (SELECT subj, count(DISTINCT obj)::BIGINT AS n_one_hop FROM nbrs GROUP BY subj),
+expandable AS (SELECT subj FROM one_hop WHERE n_one_hop <= 10000),
 two AS (
   SELECT t.subj, count(DISTINCT t.two_obj)::BIGINT AS n_two_hop_only FROM (
     SELECT a.subj, b.obj AS two_obj
-    FROM nbrs a JOIN nbrs b ON a.obj = b.subj
+    FROM nbrs a
+    JOIN expandable x ON x.subj = a.obj
+    JOIN nbrs b ON a.obj = b.subj
     WHERE a.subj <> b.obj
   ) t
   LEFT JOIN nbrs d ON d.subj = t.subj AND d.obj = t.two_obj
