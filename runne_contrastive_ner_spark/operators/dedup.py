@@ -120,20 +120,46 @@ def ngram_jaccard_pairs(
     )
 
 
+MINHASH_P = 1_000_000_007
+
+
+def _minhash_consts(n_perms: int) -> tuple[list[int], list[int]]:
+    """Per-permutation universal-hash constants, md5-derived so they are
+    identical in the DuckDB oracle. A is kept < 2^20 so A*h + B stays well
+    inside int64 for 32-bit base hashes (max ~2^52)."""
+    from ..functions.hashing import md5_int
+
+    a = [md5_int(f"mh_a{s}") % ((1 << 20) - 1) + 1 for s in range(n_perms)]
+    b = [md5_int(f"mh_b{s}") % MINHASH_P for s in range(n_perms)]
+    return a, b
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str, n_perms: int = N_PERMS) -> DataFrame:
-    """MinHash signature rows (doc_id, seed, minhash): one narrow explode of
-    the seed range, one groupBy(doc, seed) min — fully JVM-side."""
-    sh = doc_shingles(spark, sf_dir)
+    """MinHash signature rows (doc_id, seed, minhash): ONE md5 per shingle
+    occurrence + ``n_perms`` universal-hash derivations
+    ``(A_s * h + B_s) mod p`` (exact int64 arithmetic, bit-identical in
+    DuckDB), then one groupBy(doc, seed) min — fully JVM-side. The previous
+    form hashed md5(seed:shingle) per (occurrence × permutation), i.e.
+    n_perms× the cryptohash work for the same statistical properties."""
+    a_consts, b_consts = _minhash_consts(n_perms)
+    a_lit = "array(" + ",".join(f"{x}L" for x in a_consts) + ")"
+    b_lit = "array(" + ",".join(f"{x}L" for x in b_consts) + ")"
+    sh = doc_shingles(spark, sf_dir).withColumn(
+        "h", F.expr(spark_md5_int_sql("shingle", hex_digits=8))
+    )
     seeded = sh.select(
         "doc_id",
         F.explode(F.expr(f"sequence(0, {n_perms - 1})")).alias("seed"),
-        F.col("shingle"),
+        F.col("h"),
     )
-    h = F.expr(spark_md5_int_sql("concat(cast(seed as string), ':', shingle)"))
+    minhash = F.expr(
+        f"(element_at({a_lit}, seed + 1) * h + element_at({b_lit}, seed + 1))"
+        f" % {MINHASH_P}"
+    )
     return (
-        seeded.withColumn("h", h)
+        seeded.withColumn("mh", minhash)
         .groupBy("doc_id", F.col("seed").cast("bigint").alias("seed"))
-        .agg(F.min("h").alias("minhash"))
+        .agg(F.min("mh").alias("minhash"))
     )
 
 
@@ -142,18 +168,29 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing any band key (equi-join on the band hash — the 100 TB path:
     no quadratic comparison anywhere)."""
     sig = minhash_signatures(spark, sf_dir)
+    # band signature via a positional min-when pivot: each (doc, seed) row is
+    # unique, so min(when(seed%B == k)) selects THE k-th minhash of the band
+    # — a plain hash aggregate, no collect_list/array_sort object aggregation
+    pivots = [
+        F.min(
+            F.when(F.col("seed") % BAND_SIZE == k, F.col("minhash"))
+        ).alias(f"m{k}")
+        for k in range(BAND_SIZE)
+    ]
     banded = (
         sig.withColumn("band", (F.col("seed") / BAND_SIZE).cast("bigint"))
         .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.array_sort(
-                    F.collect_list(F.concat_ws(":", F.col("seed").cast("string"), F.col("minhash").cast("string")))
-                ),
-            ).alias("band_sig")
+        .agg(*pivots)
+        .withColumn(
+            "band_key",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("band").cast("string"),
+                    *[F.col(f"m{k}").cast("string") for k in range(BAND_SIZE)],
+                )
+            ),
         )
-        .withColumn("band_key", F.md5(F.concat_ws("|", F.col("band").cast("string"), F.col("band_sig"))))
     )
     a = banded.alias("a")
     b = banded.alias("b")

@@ -182,26 +182,33 @@ DEDUP: dict[str, str] = {
         WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.12
     """,
     "dd_minhash_signatures": f"""
-        WITH {_SHINGLES_CTE}
+        WITH {_SHINGLES_CTE},
+        hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+                   FROM sh)
         SELECT doc_id::BIGINT AS doc_id, seed::BIGINT AS seed,
-               min(('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::BIGINT)
-                 AS minhash
-        FROM sh, unnest(range(0, 16)) AS s(seed)
+               min(([300573,510655,73578,495690,498781,542380,852897,668282,308840,250277,325232,239434,307330,243405,98058,35422][seed::INT + 1] * h + [356273078,466755145,267672130,546645653,574012503,995538962,179374004,502315376,583196615,559567553,794485247,132977063,964342133,124030894,504111746,517523273][seed::INT + 1])
+                   % 1000000007) AS minhash
+        FROM hashed, unnest(range(0, 16)) AS s(seed)
         GROUP BY doc_id, seed
     """,
     "dd_minhash_lsh_candidates": f"""
         WITH {_SHINGLES_CTE},
+        hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+                   FROM sh),
         sig AS (
           SELECT doc_id, seed,
-                 min(('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::BIGINT)
-                   AS minhash
-          FROM sh, unnest(range(0, 16)) AS s(seed)
+                 min(([300573,510655,73578,495690,498781,542380,852897,668282,308840,250277,325232,239434,307330,243405,98058,35422][seed::INT + 1] * h + [356273078,466755145,267672130,546645653,574012503,995538962,179374004,502315376,583196615,559567553,794485247,132977063,964342133,124030894,504111746,517523273][seed::INT + 1])
+                     % 1000000007) AS minhash
+          FROM hashed, unnest(range(0, 16)) AS s(seed)
           GROUP BY doc_id, seed
         ),
         banded AS (
           SELECT doc_id, seed // 4 AS band,
-                 md5((seed // 4)::VARCHAR || '|' ||
-                     array_to_string(list_sort(list(seed::VARCHAR || ':' || minhash::VARCHAR)), ','))
+                 md5((seed // 4)::VARCHAR || ':' ||
+                     (min(minhash) FILTER (WHERE seed % 4 = 0))::VARCHAR || ':' ||
+                     (min(minhash) FILTER (WHERE seed % 4 = 1))::VARCHAR || ':' ||
+                     (min(minhash) FILTER (WHERE seed % 4 = 2))::VARCHAR || ':' ||
+                     (min(minhash) FILTER (WHERE seed % 4 = 3))::VARCHAR)
                    AS band_key
           FROM sig GROUP BY doc_id, seed // 4
         )
