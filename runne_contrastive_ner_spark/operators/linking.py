@@ -46,14 +46,30 @@ def entity_nodes(mentions: DataFrame) -> DataFrame:
     )
 
 
+ALIAS_ISIN_LIMIT = 10_000
+
+
 def alias_edges(spark: SparkSession, nodes: DataFrame, aliases: list[tuple[str, str]] | None = None) -> DataFrame:
-    """Alias pairs restricted to surfaces that actually occur as nodes
-    (both ends inner-joined; the alias side is broadcast)."""
+    """Alias pairs restricted to surfaces that actually occur as nodes.
+
+    The alias dimension is curated and small BY CONTRACT, so which endpoints
+    occur is a bounded semi-join: filter the (unbounded) surface dictionary
+    by the alias vocabulary — an ``isin`` predicate that pushes into the
+    scan — and collect at most |vocab| rows driver-side (one job instead of
+    two broadcast-subtree builds). Alias lists beyond ALIAS_ISIN_LIMIT
+    distinct surfaces fall back to the broadcast-join formulation."""
     aliases = TEST_ALIASES if aliases is None else aliases
-    alias_df = spark.createDataFrame(aliases, "src string, dst string")
+    vocab = sorted({s for pair in aliases for s in pair})
     surf = nodes.select(F.col("surface_norm"))
+    if len(vocab) <= ALIAS_ISIN_LIMIT:
+        present = {
+            r[0] for r in surf.filter(F.col("surface_norm").isin(vocab)).collect()
+        }
+        kept = [(a, b) for a, b in aliases if a in present and b in present]
+        return spark.createDataFrame(kept, "src string, dst string")
+    alias_df = spark.createDataFrame(aliases, "src string, dst string")
     # broadcast the ALIAS side: the surface dictionary is the unbounded side
-    # (10^7+ at corpus scale); the curated alias list is the small dimension
+    # (10^7+ at corpus scale); the alias list is the small dimension
     endpoint_ok = surf.join(
         F.broadcast(alias_df), surf.surface_norm == alias_df.src, "inner"
     ).select("src", "dst")
