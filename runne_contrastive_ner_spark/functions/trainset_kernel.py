@@ -101,3 +101,31 @@ def chunk_sequence(seq: list, max_seq_len: int) -> list[list]:
     if len(seq) <= max_seq_len:
         return [seq]
     return [seq[i : i + max_seq_len] for i in range(0, len(seq), max_seq_len)]
+
+
+def find_entity_words(
+    words: list[tuple[str, int, int]], entity_start: int, entity_end: int
+) -> tuple[int, int]:
+    """Char-span → word-index range for the Siamese feature path, tolerant of
+    misaligned span edges (reference find_entity_words,
+    data_processing/feature_extraction.py:66-86; goldens
+    tests/test_feature_extraction.py:13-146): the range covers every word the
+    half-open char span OVERLAPS; (-1, -1) when the span touches no word.
+    Here ``words[i] = (text, char_start, char_end)`` in CHAR space (unlike
+    the subtoken-space word tuples elsewhere)."""
+    start_word_idx = -1
+    end_word_idx = -1
+    for word_idx, (_text, word_start, word_end) in enumerate(words):
+        if entity_start < word_end and start_word_idx < 0:
+            start_word_idx = word_idx
+        if entity_end > word_start:
+            end_word_idx = word_idx
+        if word_start >= entity_end:
+            break
+    if start_word_idx < 0 or end_word_idx < 0:
+        return (-1, -1)
+    if entity_end <= words[start_word_idx][1]:
+        return (-1, -1)
+    if entity_start >= words[end_word_idx][2]:
+        return (-1, -1)
+    return (start_word_idx, end_word_idx + 1)

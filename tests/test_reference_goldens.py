@@ -439,3 +439,52 @@ def test_find_substring_result_invariant(s, sub):
     a, b = res
     assert 0 <= a < b <= len(s)
     assert s[a:b].replace("`", "") == sub
+
+
+# --- find_entity_words (reference tests/test_feature_extraction.py:13-146) ---
+
+FE_WORDS = [
+    ("Их", 0, 2), ("имена", 3, 8), ("—", 9, 10), ("Диас", 11, 15),
+    ("Кадырбаев", 16, 25), ("и", 26, 27), ("Азамат", 28, 34),
+    ("Тажаяков", 35, 43), (".", 43, 44),
+]
+
+
+@pytest.mark.parametrize(
+    "start,end,expected",
+    [
+        (11, 25, (3, 5)),
+        (13, 25, (3, 5)),   # misaligned start inside a word
+        (10, 25, (3, 5)),   # start in the gap before a word
+        (11, 24, (3, 5)),   # misaligned end inside a word
+        (11, 26, (3, 5)),   # end in the gap after a word
+        (10, 11, (-1, -1)),  # span entirely in a gap
+        (10, 12, (3, 4)),   # partial overlap with one word
+    ],
+)
+def test_find_entity_words_goldens(start, end, expected):
+    from runne_contrastive_ner_spark.functions.trainset_kernel import (
+        find_entity_words,
+    )
+
+    assert find_entity_words(FE_WORDS, start, end) == expected
+
+
+# --- indicator→class matrix (reference tests/test_trainset_building.py) ------
+# goldens stored as class-id vectors; the reference's one-hot float matrix is
+# the trivial expansion (row r one-hot at id c ⇔ matrix[r][c] == 1)
+
+@pytest.mark.parametrize(
+    "indicator,expected_classes",
+    [
+        ([0, 0, 0, 0, 0, 0, 2, 1, 0, 0, 0, 0], [0, 0, 0, 0, 0, 0, 1, 2, 0, 0, 0, 0]),
+        ([0, 2, 1, 1, 0, 0, 2, 0, 0, 0, 0, 0], [0, 1, 3, 2, 0, 0, 4, 0, 0, 0, 0, 0]),
+        ([0, 2, 2, 1, 0, 0, 2, 0, 0, 0, 0, 0], [0, 4, 1, 2, 0, 0, 4, 0, 0, 0, 0, 0]),
+    ],
+)
+def test_indicator_to_classmatrix_goldens(indicator, expected_classes):
+    from runne_contrastive_ner_spark.functions.trainset_kernel import (
+        classes_from_indicator,
+    )
+
+    assert classes_from_indicator(indicator) == expected_classes
