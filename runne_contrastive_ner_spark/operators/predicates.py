@@ -32,7 +32,12 @@ def conversation_summaries(mentions: DataFrame, entity_col: str = "canonical_id"
     is the point: the grouped-UDF plumbing is verified value-for-value).
 
     Output: conv_id, n_mentions, n_turns, n_entities, top_entity (the most
-    frequent entity, ties broken by lexicographic min)."""
+    frequent entity, ties broken by lexicographic min).
+
+    Scale bound: applyInPandas materializes ONE GROUP in executor memory —
+    fine for conversations (bounded turn counts), and the summary itself is
+    also expressible relationally (the DuckDB oracle's formulation) if a
+    corpus ever carries degenerate multi-million-row groups."""
     import pandas as pd
 
     def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
