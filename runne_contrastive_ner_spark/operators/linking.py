@@ -49,6 +49,23 @@ def entity_nodes(mentions: DataFrame) -> DataFrame:
 ALIAS_ISIN_LIMIT = 10_000
 
 
+def alias_edge_pairs_local(
+    nodes: DataFrame, aliases: list[tuple[str, str]]
+) -> list[tuple[str, str]] | None:
+    """Driver-side alias-edge list when the alias vocabulary is bounded
+    (one isin-pushdown job; collect size capped by |vocab|), else None."""
+    vocab = sorted({s for pair in aliases for s in pair})
+    if len(vocab) > ALIAS_ISIN_LIMIT:
+        return None
+    present = {
+        r[0]
+        for r in nodes.select("surface_norm")
+        .filter(F.col("surface_norm").isin(vocab))
+        .collect()
+    }
+    return [(a, b) for a, b in aliases if a in present and b in present]
+
+
 def alias_edges(spark: SparkSession, nodes: DataFrame, aliases: list[tuple[str, str]] | None = None) -> DataFrame:
     """Alias pairs restricted to surfaces that actually occur as nodes.
 
@@ -59,14 +76,10 @@ def alias_edges(spark: SparkSession, nodes: DataFrame, aliases: list[tuple[str, 
     two broadcast-subtree builds). Alias lists beyond ALIAS_ISIN_LIMIT
     distinct surfaces fall back to the broadcast-join formulation."""
     aliases = TEST_ALIASES if aliases is None else aliases
-    vocab = sorted({s for pair in aliases for s in pair})
-    surf = nodes.select(F.col("surface_norm"))
-    if len(vocab) <= ALIAS_ISIN_LIMIT:
-        present = {
-            r[0] for r in surf.filter(F.col("surface_norm").isin(vocab)).collect()
-        }
-        kept = [(a, b) for a, b in aliases if a in present and b in present]
+    kept = alias_edge_pairs_local(nodes, aliases)
+    if kept is not None:
         return spark.createDataFrame(kept, "src string, dst string")
+    surf = nodes.select(F.col("surface_norm"))
     alias_df = spark.createDataFrame(aliases, "src string, dst string")
     # broadcast the ALIAS side: the surface dictionary is the unbounded side
     # (10^7+ at corpus scale); the alias list is the small dimension
@@ -159,13 +172,39 @@ def canonicalize(
     # projections of `nodes` concurrently, and with a cold cache both
     # broadcast subtrees race to recompute the full mention scan
     nodes.count()
-    edges = alias_edges(spark, nodes, aliases).withColumn("kind", F.lit("alias"))
+    aliases_eff = TEST_ALIASES if aliases is None else aliases
+    local_pairs = alias_edge_pairs_local(nodes, aliases_eff)
+    if local_pairs is not None:
+        edges = spark.createDataFrame(
+            local_pairs, "src string, dst string"
+        ).withColumn("kind", F.lit("alias"))
+    else:
+        edges = alias_edges(spark, nodes, aliases_eff).withColumn(
+            "kind", F.lit("alias")
+        )
     if use_embedding_edges:
         edges = edges.unionByName(
             embedding_edges(nodes, embedding_threshold).withColumn("kind", F.lit("embedding"))
         )
 
-    comp = connected_components(edges.select("src", "dst"))
+    if local_pairs is not None and not use_embedding_edges:
+        # the edge list is already driver-side and bounded: run union-find
+        # directly (same labels as connected_components' small-graph path)
+        # instead of spinning up persist/count/collect jobs over a 3-row DF
+        from .components import _union_find_local
+
+        labels_map = _union_find_local(
+            [(a, b) for a, b in local_pairs if a != b]
+        )
+        comp = (
+            spark.createDataFrame(
+                sorted(labels_map.items()), "node string, component string"
+            )
+            if labels_map
+            else spark.createDataFrame([], "node string, component string")
+        )
+    else:
+        comp = connected_components(edges.select("src", "dst"))
     entities = (
         nodes.join(comp.withColumnRenamed("node", "surface_norm"), on="surface_norm", how="left")
         .withColumn("canonical_id", F.coalesce(F.col("component"), F.col("surface_norm")))
