@@ -156,14 +156,15 @@ def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     one_hop = nbrs.groupBy("subj").agg(
         F.countDistinct("obj").cast("bigint").alias("n_one_hop")
     )
-    # hub-entity skew bound: a degree-d hub emits d^2 rows through the
-    # two-hop self-join, so super-hubs are excluded from the EXPANSION
-    # (standard practice, same shape as the shingle df-cap); the cap is far
-    # above any degree in the driver corpus, and the oracle applies the
-    # identical cap
+    # hub-entity skew bound: a degree-d MIDDLE node emits d^2 rows through
+    # the two-hop self-join, so super-hub middles are excluded from the
+    # expansion (standard practice, same shape as the shingle df-cap); the
+    # cap is far above any degree in the driver corpus, and the oracle
+    # applies the identical cap to the same node (ADVICE r2: the cap must
+    # bound the middle — b.subj == a.obj — not the endpoint)
     max_degree = 10_000
     expandable = one_hop.filter(F.col("n_one_hop") <= max_degree).select("subj")
-    mid = nbrs.join(expandable.withColumnRenamed("subj", "obj"), "obj")
+    mid = nbrs.join(expandable, "subj")
     a = nbrs.alias("a")
     b = mid.alias("b")
     two = (

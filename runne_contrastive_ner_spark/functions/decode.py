@@ -113,6 +113,12 @@ def word_transition_stack(
     return stack
 
 
+# greedy_decode below hand-unrolls the argmax over exactly 5 classes; if the
+# class vocabulary ever changes this must fail loudly, not silently ignore
+# the extra classes (ADVICE r2)
+assert N_CLASSES == 5, "greedy_decode unrolled for 5 classes"
+
+
 def greedy_decode(proba: np.ndarray, transitions: list) -> list[int]:
     """Iterative constrained greedy pass. Ties -> lowest class index
     (strict > like postprocessing.py:71,83); initial state O. Returns a

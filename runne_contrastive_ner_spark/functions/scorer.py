@@ -55,8 +55,14 @@ class Scorer:
     def score_pieces(self, pieces: list[str]) -> np.ndarray:
         raise NotImplementedError
 
-    def score_pieces_active(self, pieces: list[str]) -> dict[int, np.ndarray]:
-        """Default: dense scoring, all planes reported active."""
+    def score_pieces_active(
+        self, pieces: list[str], words: list[tuple[str, int, int]] | None = None
+    ) -> dict[int, np.ndarray]:
+        """Default: dense scoring, all planes reported active. ``words`` is
+        accepted (and ignored) so the single-window fast path in
+        ``score_windows_active`` can forward pre-computed word structure to
+        ANY probability-emitting scorer without a TypeError (ADVICE r2);
+        scorers that can exploit it (GazetteerScorer) override."""
         dense = self.score_pieces(pieces)
         return {i: dense[i] for i in range(dense.shape[0])}
 

@@ -55,12 +55,15 @@ def _save_ledger(warehouse: str, done: set[int], config_key: str) -> None:
 
 def input_fingerprint(transcripts: DataFrame) -> str:
     """Order-independent content fingerprint of a transcripts DataFrame:
-    row count + xor-agg of xxhash64(conv_id, turn_idx). One scan; callers
-    that already know a cheaper identity (Iceberg snapshot id, source path +
-    mtime) can pass that to ``incremental_mentions`` instead."""
+    row count + bit_xor-agg of the full 64-bit xxhash64(conv_id, turn_idx,
+    text). Hashing the TEXT (not just the keys) means an input whose turn
+    texts changed but whose (conv_id, turn_idx) keys did not still
+    invalidates the ledger (ADVICE r2). One scan; callers that already know
+    a cheaper identity (Iceberg snapshot id, source path + mtime) can pass
+    that to ``incremental_mentions`` instead."""
     row = transcripts.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64("conv_id", "turn_idx") % 1_000_003).alias("h"),
+        F.bit_xor(F.xxhash64("conv_id", "turn_idx", "text")).alias("h"),
     ).collect()[0]
     return f"n={row['n']};h={row['h']}"
 
