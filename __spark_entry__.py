@@ -557,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_bpe_token_counts": ts.bpe_token_counts,
         "ts_pii_scrub_stats": ts.pii_scrub_stats,
         "ts_chunk_windows": ts.chunk_windows,
+        "ts_wordpiece_segments": ts.wordpiece_doc_stats,
     }
 
 

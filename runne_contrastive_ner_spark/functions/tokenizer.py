@@ -7,12 +7,22 @@ Re-expresses the reference tokenizer's observable contract
   half-open char bounds into the original text; zero-width space U+200B is
   whitespace (tokenization.py:136); words are split on punctuation, each
   punctuation char its own token (tokenization.py:140-141).
-* ``subtokenize(word)`` → deterministic WordPiece-shaped pieces: the real
-  model's vocab is unavailable in-sandbox, so pieces are fixed-width chunks
-  (≤4 chars, continuations prefixed ``##``) — preserving the structural
-  properties the decoder depends on: every word maps to ≥1 subtoken,
-  subtokens carry exact char bounds, and multi-subtoken words exercise the
-  INIT/MIDDLE/FIN transition matrices (postprocessing.py:128-138).
+* ``subtokenize(word)`` → subword pieces with exact char bounds. Two
+  interchangeable segmenters:
+
+  - **WordPiece** (``subtokenize_wordpiece``): real greedy longest-match
+    segmentation against a trained vocab (functions/wordpiece.py), with the
+    reference's accent-tolerant char alignment — ``remove_accents`` +
+    ``find_substring`` over the normalized word (tokenization.py:167-217).
+    Byte-exact vs the reference's subtoken goldens
+    (tests/test_tokenization.py:49-411) under the reference's own public
+    vocab fixtures (tests/data/bert{,-uncased}).
+  - **fixed-width fallback** (no vocab given): ≤4-char chunks, continuations
+    prefixed ``##`` — preserving the structural properties the decoder
+    depends on: every word maps to ≥1 subtoken, subtokens carry exact char
+    bounds, and multi-subtoken words exercise the INIT/MIDDLE/FIN transition
+    matrices (postprocessing.py:128-138). This is the default for the
+    registered queries so their DuckDB oracles stay expressible in SQL.
 * ``tokenize_text(text)`` → ``(words, subtokens)`` where
   ``words[i] = (text, first_subtoken_idx, last_subtoken_idx_exclusive)`` in
   subtoken index space (the shape decode_entity consumes,
@@ -58,12 +68,65 @@ def subtokenize(word: str, start: int) -> list[Subtoken]:
     return pieces
 
 
-def tokenize_text(text: str) -> tuple[list[tuple[str, int, int]], list[Subtoken]]:
-    """Words in subtoken-index space + flat subtoken list with char bounds."""
+def subtokenize_wordpiece(word: str, start: int, wp) -> list[Subtoken]:
+    """WordPiece pieces with exact char bounds into the original text.
+
+    Reproduces the reference's subtoken-alignment contract
+    (tokenization.py:158-217): a word whose segmentation contains the
+    unknown token collapses to ONE ``[UNK]`` subtoken spanning the word;
+    a single-piece word takes the word's bounds verbatim; a multi-piece
+    word is aligned piece-by-piece against the accent-folded lowercased
+    word via the placeholder-tolerant ``find_substring``, and the last
+    piece's bound is stretched to the word end (trailing mark remnants).
+    """
+    from runne_contrastive_ner_spark.functions.textnorm import (
+        PLACEHOLDER,
+        find_substring,
+        remove_accents,
+    )
+
+    pieces = wp.tokenize(word)
+    if not pieces:
+        raise ValueError(f"the word {word!r} cannot be tokenized")
+    end = start + len(word)
+    if wp.unk_token in pieces:
+        return [(wp.unk_token, start, end)]
+    if len(pieces) == 1:
+        return [(pieces[0], start, end)]
+    folded = remove_accents(word.lower())
+    out: list[Subtoken] = []
+    pos = 0
+    for src in pieces:
+        core = src[2:] if src.startswith("##") else src
+        core = remove_accents(core.lower()).replace(PLACEHOLDER, "")
+        f0, f1 = find_substring(folded[pos:], core)
+        if f0 < 0 or f1 < 0:
+            raise ValueError(
+                f"the word {word!r} cannot be aligned: {core!r} not found "
+                f"in {folded!r} from {pos} (pieces: {pieces})"
+            )
+        pos += f0
+        piece_end = pos + (f1 - f0)
+        out.append((src, start + pos, start + piece_end))
+        pos = piece_end
+    if out[-1][2] < end:  # consume trailing accent-mark remnants
+        out[-1] = (out[-1][0], out[-1][1], end)
+    return out
+
+
+def tokenize_text(
+    text: str, wp=None
+) -> tuple[list[tuple[str, int, int]], list[Subtoken]]:
+    """Words in subtoken-index space + flat subtoken list with char bounds.
+    ``wp`` (a ``wordpiece.WordPieceTokenizer``) selects real WordPiece
+    segmentation; None selects the deterministic fixed-width fallback."""
     words_out: list[tuple[str, int, int]] = []
     subtokens: list[Subtoken] = []
     for word_text, w_start, _w_end in tokenize_words(text):
         first = len(subtokens)
-        subtokens.extend(subtokenize(word_text, w_start))
+        if wp is None:
+            subtokens.extend(subtokenize(word_text, w_start))
+        else:
+            subtokens.extend(subtokenize_wordpiece(word_text, w_start, wp))
         words_out.append((word_text, first, len(subtokens)))
     return words_out, subtokens

@@ -55,15 +55,19 @@ MENTIONS_SCHEMA = (
 )
 
 
-def detect_mentions_in_text(text: str, scorer: Scorer) -> list[tuple[str, int, int]]:
+def detect_mentions_in_text(
+    text: str, scorer: Scorer, wp=None
+) -> list[tuple[str, int, int]]:
     """(type, char_start, char_end_exclusive) for one turn text — the same
-    per-document kernel the reference runs at recognize.py:47-101."""
+    per-document kernel the reference runs at recognize.py:47-101. ``wp``
+    (a WordPieceTokenizer) selects real subword segmentation; None selects
+    the fixed-width fallback."""
     out: list[tuple[str, int, int]] = []
     if not text or not text.strip():
         return out
     for s_start, s_end in sentenize_text(text):
         sentence = text[s_start:s_end]
-        words, subtokens = tokenize_text(sentence)
+        words, subtokens = tokenize_text(sentence, wp=wp)
         if not words:
             continue
         pieces = [p for p, _, _ in subtokens]
@@ -90,8 +94,14 @@ def extract_mentions(
     entity_types: list[str] | None = None,
     scorer_factory=None,
     salt_partitions: int | None = None,
+    bert_dir: str | None = None,
 ) -> DataFrame:
-    """transcripts(conv_id, turn_idx, role, text, tool, ts) → mentions."""
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) → mentions.
+
+    ``bert_dir`` (path to vocab.txt + tokenizer_config.json) switches the
+    tokenizer to real WordPiece; the vocab is loaded lazily ONCE per Python
+    worker (load_wordpiece is lru_cached on the path — only the path string
+    is captured in the closure, not the 120k-entry set)."""
     gazetteer = TEST_GAZETTEER if gazetteer is None else gazetteer
     entity_types = ENTITY_TYPES if entity_types is None else entity_types
 
@@ -118,6 +128,13 @@ def extract_mentions(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         scorer = factory()  # once per task
+        wp = None
+        if bert_dir is not None:
+            from runne_contrastive_ner_spark.functions.wordpiece import (
+                load_wordpiece,
+            )
+
+            wp = load_wordpiece(bert_dir)
         for pdf in batches:
             rows: dict[str, list] = {
                 "conv_id": [], "turn_idx": [], "type": [],
@@ -127,7 +144,7 @@ def extract_mentions(
                 pdf["conv_id"], pdf["turn_idx"], pdf["text"]
             ):
                 text = text or ""
-                for etype, c0, c1 in detect_mentions_in_text(text, scorer):
+                for etype, c0, c1 in detect_mentions_in_text(text, scorer, wp=wp):
                     surface = text[c0:c1]
                     rows["conv_id"].append(conv_id)
                     rows["turn_idx"].append(int(turn_idx))

@@ -164,6 +164,94 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# embedded mini WordPiece vocab for the segmentation-stats query: all 26
+# single letters as start AND continuation pieces (full coverage -> the UNK
+# path never fires on this corpus; it is pytest-covered instead) plus
+# multi-char pieces that force varied greedy segmentations. MIRRORED into
+# the DuckDB oracle verbatim — the vocab is part of the query contract,
+# like the minhash universal-hash constants.
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+WORDPIECE_MINI_VOCAB = (
+    tuple(_LETTERS)
+    + tuple("##" + c for c in _LETTERS)
+    + (
+        "agg", "key", "row", "the", "data", "hash", "join", "sort", "dup",
+        "tab", "##le", "val", "##ue", "cust", "##om", "##er", "win",
+        "##dow", "str", "##eam", "sp", "##ark", "sc", "##an", "sl", "##ow",
+        "sm", "##all", "fil", "##ter", "gr", "##oup", "mer", "##ge", "ba",
+        "##tch", "col", "##umn", "qu", "##ery", "or", "##der", "li",
+        "##ne", "pa", "##rt", "fa", "##st", "bi", "vec", "##tor",
+    )
+)
+
+
+def wordpiece_doc_stats(
+    spark: SparkSession, sf_dir: str, vocab: tuple[str, ...] = WORDPIECE_MINI_VOCAB
+) -> DataFrame:
+    """Per-document WordPiece segmentation stats using the engine's greedy
+    longest-match segmenter (functions/wordpiece.py — the same kernel that
+    is byte-exact vs the reference's subtoken goldens under its public BERT
+    vocab fixtures), here over an embedded mini vocab so the DuckDB oracle
+    can replay the greedy walk as a recursive CTE.
+
+    Scale shape: segmentation runs once per DISTINCT word (dictionary
+    encoding), not once per occurrence — at 100 TB the distinct-word
+    dictionary is orders of magnitude smaller than the corpus, so the
+    Arrow-batched UDF cost is bounded by vocabulary size and the join back
+    is a plain equi-join AQE broadcasts when the dictionary is small."""
+    import pandas as pd
+
+    from runne_contrastive_ner_spark.functions.wordpiece import (
+        UNK_TOKEN,
+        WordPieceTokenizer,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), _toks().alias("toks")
+    )
+    words = docs.select(
+        "doc_id", F.posexplode("toks").alias("pos", "word")
+    )
+    vocab_list = tuple(vocab)
+
+    def segment(batches):
+        wp = WordPieceTokenizer(frozenset(vocab_list), do_lower_case=False)
+        for pdf in batches:
+            segs = [wp.tokenize(w) for w in pdf["word"]]
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "word_pieces": [" ".join(p) for p in segs],
+                    "word_n_pieces": [len(p) for p in segs],
+                    "word_is_unk": [p == [UNK_TOKEN] for p in segs],
+                }
+            )
+
+    seg = words.select("word").distinct().mapInPandas(
+        segment,
+        schema=(
+            "word string, word_pieces string, "
+            "word_n_pieces int, word_is_unk boolean"
+        ),
+    )
+    return (
+        words.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("word_n_pieces").cast("bigint").alias("n_pieces"),
+            F.sum(F.col("word_is_unk").cast("int")).cast("bigint").alias("n_unk_words"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word_pieces"))),
+                    lambda x: x["word_pieces"],
+                ),
+                " ",
+            ).alias("pieces_str"),
+        )
+    )
+
+
 CHUNK_TOKENS = 32
 CHUNK_OVERLAP = 8
 

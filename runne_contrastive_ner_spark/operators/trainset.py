@@ -52,11 +52,21 @@ def build_ner_trainset(
     docs: DataFrame,
     entity_types: list[str] | None = None,
     max_seq_len: int = 128,
+    bert_dir: str | None = None,
 ) -> DataFrame:
-    """docs(id, text, ners: array<struct<type,start,end>>) → trainset rows."""
+    """docs(id, text, ners: array<struct<type,start,end>>) → trainset rows.
+    ``bert_dir`` switches subtokenization to real WordPiece (vocab loaded
+    once per Python worker via the path-memoized load_wordpiece)."""
     entity_types = ENTITY_TYPES if entity_types is None else entity_types
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        wp = None
+        if bert_dir is not None:
+            from runne_contrastive_ner_spark.functions.wordpiece import (
+                load_wordpiece,
+            )
+
+            wp = load_wordpiece(bert_dir)
         for pdf in batches:
             rows = {k: [] for k in ("id", "sent_idx", "chunk_idx", "pieces", "token_ids", "labels")}
             for doc_id, text, ners in zip(pdf["id"], pdf["text"], pdf["ners"]):
@@ -67,7 +77,7 @@ def build_ner_trainset(
                 bounds = sentenize_text(text or "")
                 per_sent = assign_entities_to_sentences(text or "", spans, bounds)
                 for s_idx, ((s0, s1), ents) in enumerate(zip(bounds, per_sent)):
-                    words, subtokens = tokenize_text(text[s0:s1])
+                    words, subtokens = tokenize_text(text[s0:s1], wp=wp)
                     if not subtokens:
                         continue
                     pieces = [p for p, _, _ in subtokens]

@@ -466,6 +466,77 @@ TEXTSTATS: dict[str, str] = {
     """,
 }
 
+
+def _wordpiece_oracle() -> str:
+    """Independent replay of greedy longest-match-first WordPiece as a
+    recursive CTE: at each position, a LATERAL picks the longest vocab piece
+    matching the remaining suffix (continuations gated on pos>1); words whose
+    walk stalls before the end collapse to [UNK]. The mini vocab itself is a
+    MIRRORED constant (imported from operators.textstats, like the minhash
+    universal-hash constants) — the greedy-walk structure is independent."""
+    from .operators.textstats import WORDPIECE_MINI_VOCAB
+
+    vals = ", ".join(f"('{t}')" for t in WORDPIECE_MINI_VOCAB)
+    return f"""
+WITH RECURSIVE
+vocab(tok, core, is_cont) AS (
+  SELECT tok,
+         CASE WHEN tok LIKE '##%' THEN substr(tok, 3) ELSE tok END,
+         tok LIKE '##%'
+  FROM (VALUES {vals}) v(tok)
+),
+dw AS (
+  SELECT DISTINCT word
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+          AS word FROM documents)
+),
+walk(word, pos, idx, piece) AS (
+  SELECT word, 1, 0, CAST(NULL AS VARCHAR) FROM dw
+  UNION ALL
+  SELECT w.word, w.pos + length(m.core), w.idx + 1, m.tok
+  FROM walk w,
+  LATERAL (
+    SELECT v.tok, v.core FROM vocab v
+    WHERE v.is_cont = (w.pos > 1)
+      AND substr(w.word, w.pos, length(v.core)) = v.core
+    ORDER BY length(v.core) DESC, v.tok
+    LIMIT 1
+  ) m
+  WHERE w.pos <= length(w.word)
+),
+perword AS (
+  SELECT word, string_agg(piece, ' ' ORDER BY idx) AS ps,
+         max(pos) AS maxpos, count(*)::BIGINT AS np
+  FROM walk WHERE idx > 0 GROUP BY word
+),
+seg AS (
+  SELECT d.word,
+         CASE WHEN p.maxpos = length(d.word) + 1 THEN p.ps
+              ELSE '[UNK]' END AS word_pieces,
+         CASE WHEN p.maxpos = length(d.word) + 1 THEN p.np
+              ELSE 1::BIGINT END AS word_n_pieces,
+         CASE WHEN p.maxpos = length(d.word) + 1 THEN 0 ELSE 1 END
+           AS word_is_unk
+  FROM dw d LEFT JOIN perword p USING (word)
+),
+docwords AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS word
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '')
+          AS ws FROM documents) t,
+  unnest(range(1, len(ws) + 1)) AS r(i)
+)
+SELECT dwx.doc_id::BIGINT AS doc_id,
+       count(*)::BIGINT AS n_words,
+       sum(s.word_n_pieces)::BIGINT AS n_pieces,
+       sum(s.word_is_unk)::BIGINT AS n_unk_words,
+       string_agg(s.word_pieces, ' ' ORDER BY dwx.pos) AS pieces_str
+FROM docwords dwx JOIN seg s USING (word)
+GROUP BY dwx.doc_id
+"""
+
+
+TEXTSTATS["ts_wordpiece_segments"] = _wordpiece_oracle()
+
 # ---------------------------------------------------------------------------
 # KG pipeline oracles (independent SQL formulation of stages 1, 3/4, 2/5)
 # ---------------------------------------------------------------------------

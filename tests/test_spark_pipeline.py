@@ -58,6 +58,27 @@ class TestMentions:
         )
         assert extract_mentions(df).count() == 0
 
+    @pytest.mark.skipif(
+        not __import__("os").path.isdir("/root/reference/tests/data/bert"),
+        reason="reference vocab fixture unavailable",
+    )
+    def test_wordpiece_tokenizer_same_spans(self, spark, transcripts):
+        """Mention spans are word-anchored, so swapping the fixed-width
+        fallback for real WordPiece (reference public vocab fixture) must
+        not change the emitted (conv, turn, type, start, end) set — only
+        the internal subtoken segmentation."""
+        base = {
+            (r.conv_id, r.turn_idx, r.type, r.start, r.end)
+            for r in extract_mentions(transcripts).collect()
+        }
+        wp = {
+            (r.conv_id, r.turn_idx, r.type, r.start, r.end)
+            for r in extract_mentions(
+                transcripts, bert_dir="/root/reference/tests/data/bert"
+            ).collect()
+        }
+        assert base == wp and len(base) > 0
+
 
 class TestConnectedComponents:
     def test_chain_multi_hop(self, spark):

@@ -78,6 +78,31 @@ class TestTrainsetSpark:
             assert len(r.pieces) == len(r.token_ids) <= 4
             assert all(len(lab) == len(r.pieces) for lab in r.labels)
 
+    def test_build_ner_trainset_wordpiece(self, spark, tmp_path):
+        """bert_dir switches the trainset to real greedy WordPiece pieces;
+        labels stay aligned and entity heads land on the real segmentation."""
+        vocab = tmp_path / "vocab.txt"
+        vocab.write_text(
+            "\n".join(
+                ["[UNK]", "[CLS]", "[SEP]", "sp", "##ark", "is", "here",
+                 "win", "##dow", "there", "."]
+            )
+        )
+        (tmp_path / "tokenizer_config.json").write_text('{"do_lower_case": false}')
+        docs = spark.createDataFrame(
+            [(1, "spark is here. window there.",
+              [{"type": "PRODUCT", "start": 0, "end": 5}])],
+            "id long, text string, ners array<struct<type:string,start:int,end:int>>",
+        )
+        rows = build_ner_trainset(docs, bert_dir=str(tmp_path)).collect()
+        first = next(r for r in rows if r.sent_idx == 0)
+        assert first.pieces[:5] == ["sp", "##ark", "is", "here", "."]
+        assert "win" in first.pieces and "##dow" in first.pieces
+        prod_idx = 23  # PRODUCT position in ENTITY_TYPES
+        assert first.labels[prod_idx][:2] == [1, 2]  # START, END on "spark"
+        for r in rows:
+            assert all(len(lab) == len(r.pieces) for lab in r.labels)
+
     def test_deterministic_token_ids(self, spark):
         docs = spark.createDataFrame(
             [(1, "spark spark", [])],
