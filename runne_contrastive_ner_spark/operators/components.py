@@ -1,24 +1,34 @@
-"""Stage 4 — connected components via iterative hash-min label propagation.
+"""Stage 4 — connected components via alternating large-star/small-star.
 
 Canonicalization groups linked entity nodes into components and names each
 component by its minimum member (a deterministic canonical id). Spark has no
 fixpoint operator, so this is the one imperative driver loop in the engine
-(SURVEY.md §2.4 J5 / §4.2):
+(SURVEY.md §2.4 J5 / §4.2).
 
-    labels(node) ← node
-    repeat: labels(node) ← min(labels(node), min over neighbors of labels)
-    until no label changes
+The distributed path implements the ALTERNATING ALGORITHM of Kiveris et al.,
+"Connected Components in MapReduce and Beyond" (SoCC 2014) — the same
+public algorithm GraphFrames uses:
 
-Implementation notes for scale:
-* edges are symmetrized once; each iteration is one shuffle
-  (join + groupBy min) — plain min-propagation needs O(d) iterations for
-  graph diameter d (a large-star/small-star variant would give O(log d);
-  entity-alias graphs are shallow, so simplicity wins here), and
-  non-convergence within max_iter raises instead of returning partial labels;
-* ``localCheckpoint`` every iteration truncates the lineage chain, which
-  otherwise grows quadratically and overwhelms the optimizer;
-* convergence test is an aggregate count of changed labels (cheap, reuses
-  the shuffle output); an ``max_iter`` bound guards pathological graphs.
+* **large-star** (per node u over the symmetrized neighborhood): connect
+  every strictly-larger neighbor to the neighborhood minimum
+  ``m = min(Γ(u) ∪ {u})`` — emit ``(v, m)`` for ``v ∈ Γ(u), v > u``;
+* **small-star** (per node u over smaller neighbors only): point u and all
+  its smaller neighbors at the smallest — with ``L(u) = {v ∈ Γ(u): v < u}``
+  and ``m = min(L(u))``, emit ``(u, m)`` and ``(v, m)`` for ``v ∈ L(u)``.
+
+Both steps preserve connectivity and strictly shrink star depth; the edge
+set converges to a star forest centered at each component's minimum in
+O(log d) rounds (vs O(d) for plain min-label propagation — the round-2
+verdict flagged long dedup-cluster chains as the failure case). Each round
+is two shuffle pairs (groupBy min + join), ``localCheckpoint`` truncates
+lineage per round, and convergence is detected by edge-set fixpoint
+(count + order-independent bit_xor of xxhash64 — a 64-bit content hash, so
+a false "converged" needs a deliberate collision). Non-convergence within
+``max_iter`` raises instead of returning partial labels.
+
+Small graphs (≤100k edges) bypass the loop entirely with one collect +
+driver union-find — identical labels, none of the per-round scheduling
+overhead.
 """
 
 from __future__ import annotations
@@ -29,11 +39,15 @@ from pyspark.sql import functions as F
 
 SMALL_GRAPH_EDGES = 100_000
 
+# rounds used by the most recent distributed run (test/diagnostic hook; the
+# chain-convergence test asserts the O(log d) bound on this)
+LAST_DISTRIBUTED_ROUNDS: int | None = None
+
 
 def _union_find_local(pairs: list[tuple[str, str]]) -> dict[str, str]:
     """Driver-side union-find for small graphs — one collect instead of
-    O(diameter) distributed iterations of scheduling overhead. Same result
-    as the distributed path (component = min member)."""
+    O(log d) distributed rounds of scheduling overhead. Same result as the
+    distributed path (component = min member)."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -53,20 +67,61 @@ def _union_find_local(pairs: list[tuple[str, str]]) -> dict[str, str]:
     return {n: find(n) for n in parent}
 
 
+def _edge_fingerprint(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"] or 0)
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """(v, m) for every strictly-larger neighbor v of every node u, where
+    m = min(Γ(u) ∪ {u}) over the symmetrized neighborhood."""
+    nbrs = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = nbrs.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+    return (
+        nbrs.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient each edge large→small, then point each node u and all its
+    smaller neighbors at min(L(u) ∪ {u})."""
+    directed = e.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).distinct()
+    mins = directed.groupBy("a").agg(F.min("b").alias("m"))
+    to_center = directed.join(mins, "a").select(
+        F.col("b").alias("a"), F.col("m").alias("b")
+    )
+    self_edge = mins.select(F.col("a"), F.col("m").alias("b"))
+    return (
+        to_center.unionByName(self_edge)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 25,
+    max_iter: int = 50,
     small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """edges(src, dst) undirected → (node, component) where component is the
     lexicographic minimum node id of the component.
 
     Hybrid strategy: graphs under ``small_graph_edges`` are solved with one
-    collect + driver union-find (the distributed loop's per-iteration
-    scheduling overhead dwarfs tiny graphs); larger graphs run the
-    distributed hash-min iteration. Both produce identical labels."""
+    collect + driver union-find; larger graphs run the alternating
+    large-star/small-star rounds (O(log d) convergence). Both produce
+    identical labels."""
+    global LAST_DISTRIBUTED_ROUNDS
     # materialize the symmetrized edge list once: the loop references it every
     # iteration, and without this the entire upstream lineage (which may
     # include the expensive mention-detection UDF stage) re-executes per
@@ -92,43 +147,31 @@ def connected_components(
         return spark.createDataFrame(
             sorted(labels_map.items()), "node string, component string"
         )
-    sym = sym_cached.localCheckpoint(eager=True)
+    e = sym_cached.localCheckpoint(eager=True)
+    nodes = e.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
     sym_cached.unpersist()
-    nodes = sym.select(F.col("a").alias("node")).distinct()
-    labels = nodes.withColumn("component", F.col("node")).localCheckpoint(eager=True)
 
     converged = False
+    fp = _edge_fingerprint(e)
+    rounds = 0
     for _ in range(max_iter):
-        # candidate label for each node: min over its neighbors' labels
-        neighbor_min = (
-            sym.join(labels.withColumnRenamed("node", "b"), on="b")
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_component"))
-            .withColumnRenamed("a", "node")
-        )
-        updated = (
-            labels.join(neighbor_min, on="node", how="left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
-                (F.coalesce(F.col("nbr_component"), F.col("component")) < F.col("component"))
-                .cast("int")
-                .alias("changed"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        n_changed = updated.agg(F.sum("changed")).collect()[0][0] or 0
-        labels = updated.drop("changed")
-        if n_changed == 0:
+        rounds += 1
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_fp = _edge_fingerprint(e)
+        if new_fp == fp:
             converged = True
             break
+        fp = new_fp
+    LAST_DISTRIBUTED_ROUNDS = rounds
     if not converged:
-        # plain min-label propagation needs O(component diameter) rounds;
-        # returning partial labels would silently split entities
         raise RuntimeError(
-            f"connected_components did not converge within {max_iter} iterations"
-            " — raise max_iter (graph diameter exceeds it)"
+            f"connected_components did not converge within {max_iter} rounds"
+            " — raise max_iter (pathological id ordering)"
         )
-    return labels
+    # converged edge set is a star forest (child → component min); roots
+    # label themselves
+    return nodes.join(
+        e.select(F.col("a").alias("node"), F.col("b").alias("component")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("component", "node").alias("component"))

@@ -40,6 +40,31 @@ class TestDistributedCCScale:
         # star hubs label their members; the chain is one component
         assert got["c0019"] == "c0000"
 
+    def test_chain_converges_in_log_rounds(self, spark):
+        """The r2 verdict's acceptance test for the alternating algorithm:
+        a 200k-node path (the long-chain dedup-cluster shape that kills
+        O(diameter) min-propagation) must converge in ≤ 2·log₂(d)+6 rounds
+        with labels identical to union-find."""
+        import math
+
+        from runne_contrastive_ner_spark.operators import components as cc
+
+        n = 200_000
+        chain = spark.range(n - 1).select(
+            F.concat(F.lit("c"), F.lpad(F.col("id").cast("string"), 7, "0")).alias("src"),
+            F.concat(F.lit("c"), F.lpad((F.col("id") + 1).cast("string"), 7, "0")).alias("dst"),
+        )
+        got = connected_components(chain)
+        # one component labeled by the minimum node
+        assert got.select("component").distinct().count() == 1
+        assert got.count() == n
+        assert got.agg(F.min("component")).collect()[0][0] == "c0000000"
+        bound = 2 * math.ceil(math.log2(n)) + 6
+        assert cc.LAST_DISTRIBUTED_ROUNDS is not None
+        assert cc.LAST_DISTRIBUTED_ROUNDS <= bound, (
+            f"{cc.LAST_DISTRIBUTED_ROUNDS} rounds > O(log d) bound {bound}"
+        )
+
     def test_nonconvergence_raises(self, spark):
         chain = spark.range(150_001).select(
             F.concat(F.lit("c"), F.lpad(F.col("id").cast("string"), 7, "0")).alias("src"),
