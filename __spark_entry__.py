@@ -544,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash_values": dd.simhash_values,
         "dd_simhash_near_pairs": dd.simhash_near_pairs,
         "dd_embedding_neardup_pairs": dd.embedding_neardup_pairs,
+        "dd_dedup_clusters": dd.dedup_clusters,
         # similarity search
         "sim_ann_bruteforce_topk": sim.ann_bruteforce_topk,
         "sim_lsh_buckets": sim.lsh_bucket_assignments,

@@ -205,6 +205,74 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.9
+) -> DataFrame:
+    """The materialized product of the dedup family: LSH candidate pairs →
+    exact-Jaccard verification of ONLY those pairs → connected components →
+    survivor election (keep the minimum doc_id per cluster). A 100 TB
+    pipeline consumes exactly this artifact — verified near-dup clusters
+    with a canonical keeper — not raw candidate pairs.
+
+    Rows: one per member of a multi-document cluster:
+    (doc_id, cluster_id, cluster_size, is_survivor).
+
+    Scale shape: all quadratic work is bounded by the banded LSH join;
+    exact verification builds shingle ARRAYS only for candidate documents
+    (semi-join first), then computes Jaccard per candidate pair with
+    array_intersect — O(pairs × doc_len), no shingle-level fan-out; CC is
+    the O(log d) alternating large-star/small-star."""
+    cands = minhash_lsh_candidates(spark, sf_dir)
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    arrays = (
+        doc_shingles(spark, sf_dir)
+        .join(cand_docs, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+    verified = (
+        cands.join(
+            arrays.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            arrays.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        # zero-padded string ids: lexicographic min == numeric min in CC
+        .select(
+            F.lpad(F.col("doc_a").cast("string"), 12, "0").alias("src"),
+            F.lpad(F.col("doc_b").cast("string"), 12, "0").alias("dst"),
+        )
+    )
+    from .components import connected_components
+
+    comp = connected_components(verified)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").cast("bigint").alias("doc_id"),
+            F.col("component").cast("bigint").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("is_survivor"),
+        )
+    )
+
+
 def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document: token-count-weighted bit votes over the
     portable token hash. Bit extraction uses floor-div by powers of two so

@@ -156,6 +156,31 @@ sh AS (
 )
 """
 
+# minhash signature + banding CTEs shared by the LSH-candidate and
+# dedup-cluster oracles (universal-hash constants mirrored from
+# operators/dedup._minhash_consts — portable-hash contract)
+_MINHASH_BAND_CTES = """
+        hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+                   FROM sh),
+        sig AS (
+          SELECT doc_id, seed,
+                 min(([300573,510655,73578,495690,498781,542380,852897,668282,308840,250277,325232,239434,307330,243405,98058,35422][seed::INT + 1] * h + [356273078,466755145,267672130,546645653,574012503,995538962,179374004,502315376,583196615,559567553,794485247,132977063,964342133,124030894,504111746,517523273][seed::INT + 1])
+                     % 1000000007) AS minhash
+          FROM hashed, unnest(range(0, 16)) AS s(seed)
+          GROUP BY doc_id, seed
+        ),
+        banded AS (
+          SELECT doc_id, seed // 4 AS band,
+                 md5((seed // 4)::VARCHAR || ':' ||
+                     (min(minhash) FILTER (WHERE seed % 4 = 0))::VARCHAR || ':' ||
+                     (min(minhash) FILTER (WHERE seed % 4 = 1))::VARCHAR || ':' ||
+                     (min(minhash) FILTER (WHERE seed % 4 = 2))::VARCHAR || ':' ||
+                     (min(minhash) FILTER (WHERE seed % 4 = 3))::VARCHAR)
+                   AS band_key
+          FROM sig GROUP BY doc_id, seed // 4
+        )
+"""
+
 DEDUP: dict[str, str] = {
     "dd_exact_dup_stats": """
         SELECT count(*)::BIGINT AS n_docs,
@@ -193,28 +218,51 @@ DEDUP: dict[str, str] = {
     """,
     "dd_minhash_lsh_candidates": f"""
         WITH {_SHINGLES_CTE},
-        hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
-                   FROM sh),
-        sig AS (
-          SELECT doc_id, seed,
-                 min(([300573,510655,73578,495690,498781,542380,852897,668282,308840,250277,325232,239434,307330,243405,98058,35422][seed::INT + 1] * h + [356273078,466755145,267672130,546645653,574012503,995538962,179374004,502315376,583196615,559567553,794485247,132977063,964342133,124030894,504111746,517523273][seed::INT + 1])
-                     % 1000000007) AS minhash
-          FROM hashed, unnest(range(0, 16)) AS s(seed)
-          GROUP BY doc_id, seed
-        ),
-        banded AS (
-          SELECT doc_id, seed // 4 AS band,
-                 md5((seed // 4)::VARCHAR || ':' ||
-                     (min(minhash) FILTER (WHERE seed % 4 = 0))::VARCHAR || ':' ||
-                     (min(minhash) FILTER (WHERE seed % 4 = 1))::VARCHAR || ':' ||
-                     (min(minhash) FILTER (WHERE seed % 4 = 2))::VARCHAR || ':' ||
-                     (min(minhash) FILTER (WHERE seed % 4 = 3))::VARCHAR)
-                   AS band_key
-          FROM sig GROUP BY doc_id, seed // 4
-        )
+        {_MINHASH_BAND_CTES}
         SELECT DISTINCT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b
         FROM banded a JOIN banded b
           ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+    # LSH candidates -> exact-Jaccard verify (candidates only) -> recursive
+    # transitive closure -> survivor = min doc id. Mirrors the engine's
+    # dedup_clusters composition with an independent closure formulation.
+    "dd_dedup_clusters": f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        {_MINHASH_BAND_CTES},
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS cmn
+          FROM cands c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY c.doc_a, c.doc_b
+        ),
+        verified AS (
+          SELECT co.doc_a, co.doc_b
+          FROM common co
+          JOIN sizes za ON za.doc_id = co.doc_a
+          JOIN sizes zb ON zb.doc_id = co.doc_b
+          WHERE co.cmn * 1.0 / (za.n + zb.n - co.cmn) >= 0.9
+        ),
+        vedges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+                   UNION SELECT doc_b, doc_a FROM verified),
+        reach AS (
+          SELECT src AS node, dst AS r FROM vedges
+          UNION
+          SELECT e2.src, r.r FROM vedges e2 JOIN reach r ON r.node = e2.dst
+        ),
+        canon AS (SELECT node, least(min(r), node) AS cluster_id
+                  FROM reach GROUP BY node),
+        csz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+                FROM canon GROUP BY cluster_id)
+        SELECT c.node::BIGINT AS doc_id, c.cluster_id::BIGINT AS cluster_id,
+               z.cluster_size, (c.node = c.cluster_id) AS is_survivor
+        FROM canon c JOIN csz z USING (cluster_id)
     """,
     "dd_simhash_values": """
         WITH tok AS (
