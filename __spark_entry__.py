@@ -550,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_buckets": sim.lsh_bucket_assignments,
         "sim_ann_lsh_topk": sim.ann_lsh_topk,
         "sim_ann_ivf_topk": sim.ann_ivf_topk,
+        "sim_ann_ivf_kmeans_topk": sim.ann_ivf_kmeans_topk,
         # text analysis
         "ts_lang_id": ts.lang_id_heuristic,
         "ts_quality_scores": ts.quality_scores,

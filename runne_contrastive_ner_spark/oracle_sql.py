@@ -397,6 +397,88 @@ SIMILARITY: dict[str, str] = {
                neighbor_id::BIGINT AS neighbor_id, round(cos_raw, 6)::DOUBLE AS cos
         FROM ranked WHERE rank <= 3
     """,
+    # full Lloyd replay (2 unrolled iterations): assignment = argmin over
+    # current centroids, update = per-dim quantized-integer mean (mirrors
+    # the engine's determinism contract: round(v*1e6) BIGINT sums are
+    # order-independent, so both systems derive identical centroids), then
+    # the standard IVF probe/assign/re-rank over the trained cells.
+    "sim_ann_ivf_kmeans_topk": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        vq AS (SELECT vec_id,
+                      [CAST(round(v[d] * 1000000) AS BIGINT) FOR d IN range(1, 65)] AS q
+               FROM e),
+        c0 AS (
+          SELECT (vec_id // 13)::INT AS cell, v AS cv FROM e
+          WHERE vec_id % 13 = 0 AND vec_id < 13 * 8
+        ),
+        a1 AS (
+          SELECT vec_id, cell FROM (
+            SELECT t.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY t.vec_id
+                     ORDER BY list_sum([(t.v[d] - c.cv[d]) * (t.v[d] - c.cv[d]) FOR d IN range(1, 65)]), c.cell) AS rn
+            FROM e t CROSS JOIN c0 c
+          ) WHERE rn = 1
+        ),
+        u1 AS (
+          SELECT a.cell, t.d, sum(q.q[t.d])::BIGINT AS s, count(*)::BIGINT AS n
+          FROM a1 a JOIN vq q USING (vec_id), unnest(range(1, 65)) AS t(d)
+          GROUP BY a.cell, t.d
+        ),
+        u1c AS (SELECT cell, list(s / (1000000 * n) ORDER BY d) AS cv
+                FROM u1 GROUP BY cell),
+        c1 AS (SELECT c0.cell, coalesce(u.cv, c0.cv) AS cv
+               FROM c0 LEFT JOIN u1c u USING (cell)),
+        a2 AS (
+          SELECT vec_id, cell FROM (
+            SELECT t.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY t.vec_id
+                     ORDER BY list_sum([(t.v[d] - c.cv[d]) * (t.v[d] - c.cv[d]) FOR d IN range(1, 65)]), c.cell) AS rn
+            FROM e t CROSS JOIN c1 c
+          ) WHERE rn = 1
+        ),
+        u2 AS (
+          SELECT a.cell, t.d, sum(q.q[t.d])::BIGINT AS s, count(*)::BIGINT AS n
+          FROM a2 a JOIN vq q USING (vec_id), unnest(range(1, 65)) AS t(d)
+          GROUP BY a.cell, t.d
+        ),
+        u2c AS (SELECT cell, list(s / (1000000 * n) ORDER BY d) AS cv
+                FROM u2 GROUP BY cell),
+        c2 AS (SELECT c1.cell, coalesce(u.cv, c1.cv) AS cv
+               FROM c1 LEFT JOIN u2c u USING (cell)),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT t.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY t.vec_id
+                     ORDER BY list_sum([(t.v[d] - c.cv[d]) * (t.v[d] - c.cv[d]) FOR d IN range(1, 65)]), c.cell) AS rn
+            FROM e t CROSS JOIN c2 c
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT query_id, va, cell FROM (
+            SELECT e.vec_id AS query_id, e.v AS va, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_sum([(e.v[d] - c.cv[d]) * (e.v[d] - c.cv[d]) FOR d IN range(1, 65)]), c.cell) AS prn
+            FROM e CROSS JOIN c2 c
+            WHERE e.vec_id < 10
+          ) WHERE prn <= 4
+        ),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 list_sum([p.va[d] * e2.v[d] FOR d IN range(1, 65)]) / (sqrt(list_sum([p.va[d] * p.va[d] FOR d IN range(1, 65)])) * sqrt(list_sum([e2.v[d] * e2.v[d] FOR d IN range(1, 65)]))) AS cos_raw
+          FROM probes p
+          JOIN assign a ON a.cell = p.cell
+          JOIN e e2 ON e2.vec_id = a.vec_id
+          WHERE a.vec_id <> p.query_id
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_raw DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+               neighbor_id::BIGINT AS neighbor_id, round(cos_raw, 6)::DOUBLE AS cos
+        FROM ranked WHERE rank <= 3
+    """,
     "sim_ann_lsh_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         eb AS (
