@@ -91,6 +91,37 @@ def main():
     flagship_wall = time.time() - t0
     turns_sec = round(n_turns * rep / flagship_wall, 2)
 
+    # resume economics (VERDICT r2 item 7): the manifests must buy WALL TIME,
+    # not just row-count equality. Cold 4-stage pipeline at the bench SF,
+    # then delete ONLY the triples manifest (that stage recomputes, upstream
+    # skips), then re-run untouched (all stages skip).
+    import shutil
+    import tempfile
+
+    from runne_contrastive_ner_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    wh = tempfile.mkdtemp(prefix="bench_wh_")
+    cfg = PipelineConfig(warehouse=wh)
+
+    def timed_pipeline() -> float:
+        # stage/resume progress prints go to stderr: stdout carries ONLY the
+        # final JSON line the driver parses
+        import contextlib
+
+        t0 = time.time()
+        with contextlib.redirect_stdout(sys.stderr):
+            run_pipeline(spark, base, cfg, input_fp="bench").triples.count()
+        return time.time() - t0
+
+    pipeline_cold = timed_pipeline()
+    os.remove(os.path.join(wh, "triples", "_manifest.json"))
+    pipeline_resume = timed_pipeline()
+    pipeline_skip = timed_pipeline()
+    shutil.rmtree(wh, ignore_errors=True)
+
     out = {
         "metric": "headline_total_sec",
         "value": round(total, 3),
@@ -103,6 +134,9 @@ def main():
         "n_turns": n_turns,
         "row_counts": counts,
         "cpus": int(cpus),
+        "pipeline_cold_sec": round(pipeline_cold, 3),
+        "pipeline_resume_triples_sec": round(pipeline_resume, 3),
+        "pipeline_skip_sec": round(pipeline_skip, 3),
     }
     print(json.dumps(out))
     spark.stop()

@@ -36,6 +36,9 @@ class StageManifest:
     partition_rows: dict[str, int] = field(default_factory=dict)
     wall_sec: float = 0.0
     extra: dict = field(default_factory=dict)
+    # output-file hygiene (TableIO.file_stats): n_files, bytes,
+    # files_per_partition — bounded-small-file evidence per stage
+    files: dict = field(default_factory=dict)
 
 
 def fingerprint(*parts: object) -> str:
@@ -103,6 +106,7 @@ class StageRunner:
             rows=out.count(),
             partition_rows=partition_lineage(out, lineage_key),
             wall_sec=round(time.time() - t0, 3),
+            files=getattr(self.io, "file_stats", lambda _t: {})(stage),
         )
         write_manifest(path, mf)
         self.metrics[stage] = mf

@@ -71,6 +71,35 @@ class TableIO:
                 return True
         return False
 
+    def file_stats(self, table: str) -> dict:
+        """Output-file hygiene: total parquet file count/bytes plus file
+        counts per first-level partition directory. Small-file explosion is
+        the classic 1000-executor failure mode — recording these per stage
+        in the manifest makes it observable instead of discovered at read
+        time. (Iceberg backend exposes the same via its metadata tables.)"""
+        if self.use_iceberg:  # pragma: no cover
+            return {}
+        root = self.path(table)
+        n_files = 0
+        n_bytes = 0
+        per_part: dict[str, int] = {}
+        for dirpath, _dirs, files in os.walk(root):
+            pf = [f for f in files if f.endswith(".parquet")]
+            if not pf:
+                continue
+            n_files += len(pf)
+            for f in pf:
+                n_bytes += os.path.getsize(os.path.join(dirpath, f))
+            rel = os.path.relpath(dirpath, root)
+            if rel != ".":
+                part = rel.split(os.sep)[0]
+                per_part[part] = per_part.get(part, 0) + len(pf)
+        return {
+            "n_files": n_files,
+            "bytes": n_bytes,
+            "files_per_partition": per_part,
+        }
+
     def read(self, table: str) -> DataFrame:
         if self.use_iceberg:  # pragma: no cover
             return self.spark.read.table(f"local.db.{table}")
