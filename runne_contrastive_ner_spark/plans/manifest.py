@@ -113,3 +113,46 @@ class StageRunner:
         if self.verbose:
             print(f"[stage] {stage}: rows={mf.rows} wall={mf.wall_sec}s")
         return out
+
+
+def compact_stage(
+    io,
+    stage: str,
+    partition_col: str | None = None,
+    shuffle_parts: int | None = None,
+) -> StageManifest:
+    """Small-file compaction for a written stage — the Iceberg
+    ``rewrite_data_files`` / ``OPTIMIZE`` equivalent for the Parquet
+    fallback. A 1000-executor writer legitimately produces
+    tasks×buckets files; readers want few large files. This rewrites the
+    table with one file per partition value (repartition BY the partition
+    column routes each value to exactly one task) and refreshes the
+    manifest's file stats while PRESERVING its fingerprint — content is
+    unchanged, so resume semantics are untouched.
+
+    Safe against in-place overwrite (reading and overwriting the same
+    Parquet path is not): writes to a sibling temp dir, then swaps.
+    """
+    import shutil
+
+    mf = load_manifest(io.path(stage))
+    if mf is None:
+        raise ValueError(f"stage {stage!r} has no manifest to compact")
+    df = io.read(stage)
+    tmp_stage = f"{stage}__compacting"
+    if partition_col is not None:
+        n = shuffle_parts or df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartition(n, F.col(partition_col))
+        io.write(df, tmp_stage, partition_cols=[partition_col])
+    else:
+        df = df.coalesce(1 if shuffle_parts is None else shuffle_parts)
+        io.write(df, tmp_stage)
+    src, dst = io.path(tmp_stage), io.path(stage)
+    backup = dst + "__pre_compact"
+    os.rename(dst, backup)
+    os.rename(src, dst)
+    shutil.rmtree(backup)
+    mf.files = io.file_stats(stage)
+    mf.extra = {**mf.extra, "compacted": True}
+    write_manifest(dst, mf)
+    return mf

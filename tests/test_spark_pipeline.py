@@ -213,6 +213,30 @@ class TestPipeline:
         # 4 shuffle partitions)
         assert max(fpp.values()) <= 4
 
+    def test_compact_stage_bounds_files_and_preserves_resume(
+        self, spark, transcripts, tmp_path
+    ):
+        """compact_stage: fewer files, identical rows, fingerprint intact
+        (the next run still skips), per-conversation pruning still works."""
+        from runne_contrastive_ner_spark.plans.manifest import compact_stage
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+
+        cfg = PipelineConfig(warehouse=str(tmp_path / "whc"), lineage_buckets=4)
+        res = run_pipeline(spark, transcripts, cfg, input_fp="c")
+        n_before = res.mentions.count()
+        io = TableIO(spark, cfg.warehouse)
+        before = io.file_stats("mentions")
+        mf = compact_stage(io, "mentions", partition_col="conv_bucket")
+        after = io.file_stats("mentions")
+        assert after["n_files"] <= 4  # one file per bucket value
+        assert after["n_files"] < before["n_files"]
+        assert io.read("mentions").count() == n_before
+        assert mf.extra.get("compacted") is True
+        # resume: manifest fingerprint untouched -> every stage skips
+        res2 = run_pipeline(spark, transcripts, cfg, input_fp="c")
+        assert res2.metrics["mentions"]["wall_sec"] == res.metrics["mentions"]["wall_sec"]
+        assert res2.triples.count() == res.triples.count()
+
     def test_empty_input_all_stages_zero(self, spark, transcripts, tmp_path):
         """limit(0) input: every stage runs, all counts 0, no crash — in
         particular the partitioned empty write must stay schema-readable."""
