@@ -31,6 +31,29 @@ class TestIncremental:
         again = incremental_mentions(spark, t, wh, n_buckets=4)
         assert again.count() == out.count()
 
+    def test_incremental_triples_resume_matches_scratch(self, spark, tmp_path):
+        """End-to-end incremental KG build: crash mid-mention-scan, resume,
+        and the final triples equal a from-scratch (non-incremental) run."""
+        from runne_contrastive_ner_spark.operators.linking import canonicalize
+        from runne_contrastive_ner_spark.operators.predicates import (
+            induce_predicates,
+        )
+        from runne_contrastive_ner_spark.streaming.incremental import (
+            incremental_triples,
+        )
+
+        t = synthesize(spark, n_convs=6, turns_per_conv=6, long_conv_turns=0).cache()
+        wh = str(tmp_path / "wht")
+        with pytest.raises(RuntimeError, match="injected failure"):
+            incremental_triples(spark, t, wh, n_buckets=4, fail_after_bucket=1)
+        got = incremental_triples(spark, t, wh, n_buckets=4)
+        _, _, linked = canonicalize(spark, extract_mentions(t))
+        want = induce_predicates(linked, entity_col="entity_id")
+        key = ["conv_id", "subj", "pred", "obj", "src_turn_idx"]
+        assert sorted(map(tuple, got.select(*key).collect())) == sorted(
+            map(tuple, want.select(*key).collect())
+        )
+
     def test_ledger_invalidated_when_input_changes(self, spark, tmp_path):
         """Progress recorded against one input must NOT be reused for a
         different input (ADVICE r1: stale-mixed-output bug)."""

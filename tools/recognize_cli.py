@@ -5,6 +5,7 @@ trained TF model (pass ``--scorer gazetteer`` in-sandbox; a trained
 transformer artifact would plug in via the TransformerScorer seam).
 
     python tools/recognize_cli.py src.jsonl dst.jsonl [--with-text]
+                                   [--bert-dir DIR]   # real WordPiece vocab
 
 Output format matches the reference sink: one JSON object per document, ids
 ascending, ``ners`` as [start, end_inclusive, TYPE] (io_utils.py:89-103).
@@ -31,6 +32,13 @@ def main() -> None:
     ap.add_argument("dst")
     ap.add_argument("--with-text", action="store_true")
     ap.add_argument("--scorer", default="gazetteer", choices=["gazetteer"])
+    ap.add_argument(
+        "--bert-dir",
+        default=None,
+        help="BERT vocab dir (vocab.txt [+ tokenizer_config.json]) — switches"
+        " subtokenization to real WordPiece, as the reference does with its"
+        " model_dir tokenizer",
+    )
     args = ap.parse_args()
 
     spark = build_session(app_name="recognize-cli")
@@ -42,7 +50,7 @@ def main() -> None:
         F.lit(0).alias("turn_idx"),
         F.col("text"),
     )
-    mentions = extract_mentions(as_transcripts)
+    mentions = extract_mentions(as_transcripts, bert_dir=args.bert_dir)
     recognized = (
         docs.drop("ners")
         .join(
