@@ -313,3 +313,58 @@ def test_unk_word_collapses_to_single_subtoken():
 def test_load_wordpiece_respects_config(cased, uncased):
     assert cased.do_lower_case is False   # tokenizer_config.json present
     assert uncased.do_lower_case is True  # absent config -> published default
+
+
+# --- property-based invariants (hypothesis) ----------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_tiny_vocab = frozenset(
+    list("abcdefgh")
+    + ["##" + c for c in "abcdefgh"]
+    + ["ab", "##ab", "##cd", "abc", "fgh"]
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abcdefghxyz", min_size=1, max_size=24))
+def test_wordpiece_cover_or_unk(word):
+    """Greedy segmentation either tiles the token exactly (## stripped,
+    concatenation == input) or collapses to a single [UNK]."""
+    wp = WordPieceTokenizer(_tiny_vocab, do_lower_case=False)
+    pieces = wp.wordpiece(word)
+    if pieces == ["[UNK]"]:
+        assert any(ch not in "abcdefgh" for ch in word) or not word
+    else:
+        rebuilt = "".join(p[2:] if p.startswith("##") else p for p in pieces)
+        assert rebuilt == word
+        assert not pieces[0].startswith("##")
+        assert all(p.startswith("##") for p in pieces[1:])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abcdefgh ́Ёа-", min_size=1, max_size=20))
+def test_subtokenize_bounds_tile_word(word):
+    """With full single-char coverage the aligned subtokens carry
+    contiguous half-open char bounds that tile [start, start+len(word))."""
+    word = word.strip()
+    if not word or " " in word:
+        return
+    folded_chars = set("abcdefgheа-`ё")
+    vocab = frozenset(
+        list(folded_chars) + ["##" + c for c in folded_chars]
+    )
+    from runne_contrastive_ner_spark.functions.tokenizer import (
+        subtokenize_wordpiece,
+    )
+
+    wp = WordPieceTokenizer(vocab, do_lower_case=True)
+    try:
+        pieces = subtokenize_wordpiece(word, 7, wp)
+    except ValueError:
+        return  # alignment refusal is allowed; silent misalignment is not
+    assert pieces[0][1] == 7
+    assert pieces[-1][2] == 7 + len(word)
+    for (_, _, a1), (_, b0, _) in zip(pieces, pieces[1:]):
+        assert a1 == b0
