@@ -560,6 +560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_pii_scrub_stats": ts.pii_scrub_stats,
         "ts_chunk_windows": ts.chunk_windows,
         "ts_wordpiece_segments": ts.wordpiece_doc_stats,
+        "ts_shard_packing": ts.shard_packing,
+        "ts_corpus_selection": ts.corpus_selection,
     }
 
 

@@ -6,7 +6,7 @@ arithmetic so the DuckDB oracles match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .relational import load
@@ -249,6 +249,75 @@ def wordpiece_doc_stats(
                 " ",
             ).alias("pieces_str"),
         )
+    )
+
+
+SHARD_TOKEN_BUDGET = 256
+
+
+def shard_packing(
+    spark: SparkSession, sf_dir: str, budget: int = SHARD_TOKEN_BUDGET
+) -> DataFrame:
+    """LM training-shard packing: deterministic streaming bin packing of
+    documents into token-budget shards WITHIN each source — the window is
+    partitioned by ``source`` and ordered by ``doc_id``, so packing runs as
+    parallel per-source windows with no global sort (a corpus-wide ordered
+    window would serialize at 100 TB; per-source/per-bucket packing is the
+    standard shard-writer shape). ``shard_idx = floor(tokens_before /
+    budget)`` with an EXCLUSIVE running sum: a document straddling a budget
+    boundary stays in the shard where it started (streaming packing, not
+    optimal bin packing — deterministic and one pass)."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        F.size(_toks()).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(budget)
+        )
+        .cast("bigint")
+        .alias("shard_idx"),
+    )
+
+
+CORPUS_MIN_QUALITY = 0.62
+
+
+def corpus_selection(
+    spark: SparkSession,
+    sf_dir: str,
+    min_quality: float = CORPUS_MIN_QUALITY,
+    lang: str = "en",
+) -> DataFrame:
+    """The training-corpus selection artifact: documents that pass the
+    language gate AND the quality gate AND survive near-dup clustering —
+    quality/lang from the exact-specified heuristics, dedup losers removed
+    with a left-anti join against the verified cluster members that are not
+    the survivor. This is the composition a pretraining pipeline actually
+    materializes; every input is an already-oracle-verified operator."""
+    from .dedup import dedup_clusters
+
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality")
+    l = lang_id_heuristic(spark, sf_dir).select("doc_id", "pred_lang")
+    losers = (
+        dedup_clusters(spark, sf_dir)
+        .filter(~F.col("is_survivor"))
+        .select("doc_id")
+    )
+    return (
+        q.join(l, "doc_id")
+        .filter((F.col("pred_lang") == lang) & (F.col("quality") >= min_quality))
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id", "quality")
     )
 
 

@@ -667,6 +667,78 @@ GROUP BY dwx.doc_id
 
 TEXTSTATS["ts_wordpiece_segments"] = _wordpiece_oracle()
 
+TEXTSTATS["ts_shard_packing"] = """
+    WITH t AS (SELECT doc_id, source,
+                      len(list_filter(string_split(text, ' '), x -> x != ''))
+                        AS n_tokens
+               FROM documents)
+    SELECT doc_id::BIGINT AS doc_id, source, n_tokens::BIGINT AS n_tokens,
+           floor(coalesce(sum(n_tokens) OVER (
+                     PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 / 256)::BIGINT AS shard_idx
+    FROM t
+"""
+
+# quality gate AND language gate AND near-dup-survivor gate (full verified
+# cluster chain reused; losers excluded with an anti-join)
+TEXTSTATS["ts_corpus_selection"] = f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_MINHASH_BAND_CTES},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS cmn
+      FROM cands c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    verified AS (
+      SELECT co.doc_a, co.doc_b
+      FROM common co
+      JOIN sizes za ON za.doc_id = co.doc_a
+      JOIN sizes zb ON zb.doc_id = co.doc_b
+      WHERE co.cmn * 1.0 / (za.n + zb.n - co.cmn) >= 0.9
+    ),
+    vedges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+               UNION SELECT doc_b, doc_a FROM verified),
+    reach AS (
+      SELECT src AS node, dst AS r FROM vedges
+      UNION
+      SELECT e2.src, r.r FROM vedges e2 JOIN reach r ON r.node = e2.dst
+    ),
+    canon AS (SELECT node, least(min(r), node) AS cluster_id
+              FROM reach GROUP BY node),
+    losers AS (SELECT node AS doc_id FROM canon WHERE node != cluster_id),
+    qt AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x != '') AS toks
+           FROM documents),
+    qs AS (SELECT doc_id, len(toks) AS n_toks,
+                  len(list_distinct(toks)) AS n_distinct,
+                  len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stop
+           FROM qt),
+    scored AS (
+      SELECT doc_id,
+             round(0.4 * least(1.0, n_toks / 100.0)
+                   + 0.3 * (n_distinct / greatest(n_toks, 1))
+                   + 0.3 * (1 - n_stop / greatest(n_toks, 1)), 6)::DOUBLE
+               AS quality,
+             CASE WHEN n_toks > 0 AND
+                       n_stop * 1.0 / n_toks >= 0.05
+                  THEN 'en' ELSE 'und' END AS pred_lang
+      FROM qs
+    )
+    SELECT s.doc_id::BIGINT AS doc_id, s.quality
+    FROM scored s
+    WHERE s.pred_lang = 'en' AND s.quality >= 0.62
+      AND s.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
 # ---------------------------------------------------------------------------
 # KG pipeline oracles (independent SQL formulation of stages 1, 3/4, 2/5)
 # ---------------------------------------------------------------------------
