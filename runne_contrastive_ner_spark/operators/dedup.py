@@ -140,7 +140,16 @@ def minhash_signatures(spark: SparkSession, sf_dir: str, n_perms: int = N_PERMS)
     ``(A_s * h + B_s) mod p`` (exact int64 arithmetic, bit-identical in
     DuckDB), then one groupBy(doc, seed) min — fully JVM-side. The previous
     form hashed md5(seed:shingle) per (occurrence × permutation), i.e.
-    n_perms× the cryptohash work for the same statistical properties."""
+    n_perms× the cryptohash work for the same statistical properties.
+
+    Measured negative result (r3): a zero-shuffle variant computing the
+    whole signature as a nested higher-order expression per document
+    (transform(seeds, array_min(transform(hashes, ...)))) was 10× SLOWER
+    (2.3s → 20s at sf0.1) — nested SQL lambdas fall out of whole-stage
+    codegen and re-evaluate the constant arrays per element, and the
+    shuffle-free plan inherits the scan's split count (1 small file → 1
+    task). The flat explode + groupBy keeps codegen and parallelism; the
+    7.8M-row exchange of (bigint, int, bigint) is the cheap part."""
     a_consts, b_consts = _minhash_consts(n_perms)
     a_lit = "array(" + ",".join(f"{x}L" for x in a_consts) + ")"
     b_lit = "array(" + ",".join(f"{x}L" for x in b_consts) + ")"
