@@ -1,0 +1,75 @@
+"""spark-submit entry point for the training-corpus pipeline: near-dup
+clusters → corpus selection (lang ∧ quality ∧ survivor) → shard packing of
+the selected documents.
+
+    zip -r /tmp/engine.zip runne_contrastive_ner_spark
+    spark-submit --py-files /tmp/engine.zip jobs/run_corpus_pipeline.py \
+        --sf-dir /root/testdata/sf0.001 --warehouse /tmp/corpus_wh
+
+Same deployment contract as run_kg_pipeline.py: stage outputs land as
+manifest-tracked tables (resume skips matching stages), one JSON line of
+stage metrics on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+from runne_contrastive_ner_spark.operators.dedup import dedup_clusters
+from runne_contrastive_ner_spark.operators.textstats import (
+    corpus_selection,
+    shard_packing,
+)
+from runne_contrastive_ner_spark.plans.manifest import StageRunner, fingerprint
+from runne_contrastive_ner_spark.sources.tables import TableIO
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--min-quality", type=float, default=0.62)
+    ap.add_argument("--shard-budget", type=int, default=256)
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("corpus-pipeline")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    io = TableIO(spark, args.warehouse)
+    runner = StageRunner(io)
+    base_fp = fingerprint(args.sf_dir, args.min_quality, args.shard_budget)
+
+    runner.run(
+        "dedup_clusters",
+        fingerprint("dedup_clusters", base_fp),
+        lambda: dedup_clusters(spark, args.sf_dir),
+        lineage_key="cluster_id",
+    )
+    selected = runner.run(
+        "corpus_selection",
+        fingerprint("corpus_selection", base_fp),
+        lambda: corpus_selection(spark, args.sf_dir, min_quality=args.min_quality),
+    )
+    runner.run(
+        "shards",
+        fingerprint("shards", base_fp),
+        lambda: shard_packing(
+            spark, args.sf_dir, budget=args.shard_budget, selected=selected
+        ),
+        partition_cols=["source"],
+        lineage_key="shard_idx",
+    )
+    print(json.dumps({"stages": {k: vars(v) for k, v in runner.metrics.items()}}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -256,7 +256,10 @@ SHARD_TOKEN_BUDGET = 256
 
 
 def shard_packing(
-    spark: SparkSession, sf_dir: str, budget: int = SHARD_TOKEN_BUDGET
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = SHARD_TOKEN_BUDGET,
+    selected: DataFrame | None = None,
 ) -> DataFrame:
     """LM training-shard packing: deterministic streaming bin packing of
     documents into token-budget shards WITHIN each source — the window is
@@ -266,12 +269,16 @@ def shard_packing(
     standard shard-writer shape). ``shard_idx = floor(tokens_before /
     budget)`` with an EXCLUSIVE running sum: a document straddling a budget
     boundary stays in the shard where it started (streaming packing, not
-    optimal bin packing — deterministic and one pass)."""
+    optimal bin packing — deterministic and one pass). ``selected``
+    (doc_id column) restricts packing to a filtered corpus — the corpus
+    pipeline packs only selection survivors."""
     docs = load(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "source",
         F.size(_toks()).cast("bigint").alias("n_tokens"),
     )
+    if selected is not None:
+        docs = docs.join(selected.select("doc_id"), "doc_id", "left_semi")
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
