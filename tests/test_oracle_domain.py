@@ -90,3 +90,59 @@ def test_newline_vs_space_merge_semantics(spark, newline_dir):
     assert len(by_doc[doc_key(2)]) == 1   # newline + lowercase merges
     assert len(by_doc[doc_key(3)]) == 1   # tab gap merges
     assert len(by_doc[doc_key(10)]) == 1  # 'spark\nspark' merges
+
+
+def test_corpus_selection_gates_compose(spark):
+    """Every selected doc passes all three gates; every excluded doc fails
+    at least one (selection = lang ∧ quality ∧ dedup-survivor)."""
+    from pyspark.sql import functions as F
+
+    from runne_contrastive_ner_spark.operators.dedup import dedup_clusters
+    from runne_contrastive_ner_spark.operators.textstats import (
+        CORPUS_MIN_QUALITY,
+        corpus_selection,
+        lang_id_heuristic,
+        quality_scores,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    sel = {r.doc_id for r in corpus_selection(spark, sf).collect()}
+    q = {r.doc_id: r.quality for r in quality_scores(spark, sf).collect()}
+    lang = {r.doc_id: r.pred_lang for r in lang_id_heuristic(spark, sf).collect()}
+    losers = {
+        r.doc_id
+        for r in dedup_clusters(spark, sf).filter(~F.col("is_survivor")).collect()
+    }
+    assert sel, "gates must keep some documents"
+    for d in sel:
+        assert lang[d] == "en" and q[d] >= CORPUS_MIN_QUALITY and d not in losers
+    excluded = set(q) - sel
+    assert excluded, "gates must drop some documents"
+    for d in excluded:
+        assert lang[d] != "en" or q[d] < CORPUS_MIN_QUALITY or d in losers
+
+
+def test_shard_packing_budget_and_selection(spark):
+    """Shards respect the exclusive-running-sum budget rule per source, and
+    the selected filter packs exactly the selected docs."""
+    from runne_contrastive_ner_spark.operators.textstats import (
+        corpus_selection,
+        shard_packing,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = shard_packing(spark, sf, budget=256).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for src, docs in by_source.items():
+        docs.sort(key=lambda r: r.doc_id)
+        before = 0
+        for r in docs:
+            assert r.shard_idx == before // 256
+            before += r.n_tokens
+    sel = corpus_selection(spark, sf)
+    packed = shard_packing(spark, sf, budget=256, selected=sel)
+    assert {r.doc_id for r in packed.collect()} == {
+        r.doc_id for r in sel.collect()
+    }
