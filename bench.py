@@ -58,12 +58,19 @@ def main():
     # warm the JVM/Python workers once so timings measure the operators
     queries["rel_min_freq_gate"](spark, sf_dir).count()
 
-    total = 0.0
-    for name in HEADLINE:
-        sec, n = run_query(queries[name], spark, sf_dir)
-        timings[name] = round(sec, 3)
-        counts[name] = n
-        total += sec
+    # best-of-2 per query: this host shows noisy-neighbor periods (observed
+    # back-to-back full-bench walls of 16.3s / 31.5s / 19.0s on identical
+    # code), and min-of-N is the standard way to report the operator cost
+    # rather than the interference. The kg_* lineage memo is released
+    # between reps so the second rep re-computes honestly.
+    for rep in range(2):
+        entry_mod.release_linked()
+        for name in HEADLINE:
+            sec, n = run_query(queries[name], spark, sf_dir)
+            if rep == 0 or sec < timings[name]:
+                timings[name] = round(sec, 3)
+            counts[name] = n
+    total = sum(timings.values())
 
     # flagship throughput: turns/sec through the full mention→link→triple
     # job at a scale where per-turn work dominates fixed overhead (20x
