@@ -1,0 +1,209 @@
+"""Pure-numpy BERT encoder + per-type 5-class linear heads.
+
+The reference's inference model (neural_network/ner.py:449-505) is:
+token ids → TFBertModel sequence output → multiply by the pad mask
+(MaskCalculator) → one TimeDistributed Dense(5) LOGIT head per entity type
+(softmax is applied downstream, recognize.py:90). This module implements
+that exact architecture forward in numpy — the published BERT architecture
+(Devlin et al. 2019; post-layer-norm, learned positions, erf-GELU) — over
+an engine-native ``.npz`` weight bundle, so executors run inference with
+ZERO deep-learning-framework dependency. A trained TF ``ner.h5`` converts
+to the bundle offline with one small script wherever TF exists; in this
+sandbox no trained weights (or TF to diff against) are available, so the
+forward is validated structurally and numerically instead: a shape-generic
+naive per-position re-implementation must agree to float tolerance, and
+attention/LayerNorm/GELU invariants are pinned in tests.
+
+``.npz`` key layout (all float64 or float32 arrays; D = hidden size):
+
+    meta                          [n_layers, n_heads, pad_token_id]
+    emb.word [V, D]  emb.pos [P, D]  emb.type [T, D]
+    emb.ln.g [D]  emb.ln.b [D]
+    layer{i}.q.w [D, D]  layer{i}.q.b [D]   (same for .k / .v / .o)
+    layer{i}.ln1.g/.b [D]
+    layer{i}.ffn1.w [D, F]  layer{i}.ffn1.b [F]
+    layer{i}.ffn2.w [F, D]  layer{i}.ffn2.b [D]
+    layer{i}.ln2.g/.b [D]
+    head.{TYPE}.w [D, 5]    head.{TYPE}.b [5]
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+LN_EPS = 1e-12  # BertConfig.layer_norm_eps default
+_erf = np.vectorize(math.erf, otypes=[np.float64])
+
+
+def gelu(x: np.ndarray) -> np.ndarray:
+    """Exact (erf) GELU — BertConfig hidden_act='gelu'."""
+    return 0.5 * x * (1.0 + _erf(x / math.sqrt(2.0)))
+
+
+def layer_norm(x: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
+    mu = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + LN_EPS) * g + b
+
+
+def softmax_last(x: np.ndarray) -> np.ndarray:
+    s = x - x.max(axis=-1, keepdims=True)
+    e = np.exp(s)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+class NumpyBertNer:
+    """Forward pass over a loaded ``.npz`` bundle.
+
+    ``__call__(ids) -> logits [n_types, seq_len, 5]`` for one sequence of
+    token ids (python list or int array). Dropout is inference-mode
+    (identity), exactly like the reference's ``model.predict``.
+    """
+
+    def __init__(self, weights: dict, entity_types: list[str]):
+        self.w = {k: np.asarray(v, dtype=np.float64) for k, v in weights.items()}
+        meta = self.w["meta"].astype(int)
+        self.n_layers, self.n_heads, self.pad_id = (
+            int(meta[0]),
+            int(meta[1]),
+            int(meta[2]),
+        )
+        self.entity_types = entity_types
+        d = self.w["emb.word"].shape[1]
+        if d % self.n_heads:
+            raise ValueError(f"hidden {d} not divisible by heads {self.n_heads}")
+        self.hidden = d
+        for t in entity_types:
+            if f"head.{t}.w" not in self.w:
+                raise ValueError(f"bundle is missing the head for {t!r}")
+
+    # --- encoder -------------------------------------------------------------
+    def _attention(self, x: np.ndarray, i: int, add_mask: np.ndarray) -> np.ndarray:
+        w = self.w
+        n, d = x.shape
+        h = self.n_heads
+        dh = d // h
+
+        def proj(name):
+            m = x @ w[f"layer{i}.{name}.w"] + w[f"layer{i}.{name}.b"]
+            return m.reshape(n, h, dh).transpose(1, 0, 2)  # [h, n, dh]
+
+        q, k, v = proj("q"), proj("k"), proj("v")
+        scores = q @ k.transpose(0, 2, 1) / math.sqrt(dh)  # [h, n, n]
+        scores = scores + add_mask[None, None, :]  # mask keys at pad positions
+        ctx = softmax_last(scores) @ v  # [h, n, dh]
+        ctx = ctx.transpose(1, 0, 2).reshape(n, d)
+        return ctx @ w[f"layer{i}.o.w"] + w[f"layer{i}.o.b"]
+
+    def encode(self, ids: np.ndarray) -> np.ndarray:
+        w = self.w
+        n = len(ids)
+        x = w["emb.word"][ids] + w["emb.pos"][:n] + w["emb.type"][0]
+        x = layer_norm(x, w["emb.ln.g"], w["emb.ln.b"])
+        add_mask = np.where(ids == self.pad_id, -1e9, 0.0)
+        for i in range(self.n_layers):
+            a = self._attention(x, i, add_mask)
+            x = layer_norm(x + a, w[f"layer{i}.ln1.g"], w[f"layer{i}.ln1.b"])
+            f = gelu(x @ w[f"layer{i}.ffn1.w"] + w[f"layer{i}.ffn1.b"])
+            f = f @ w[f"layer{i}.ffn2.w"] + w[f"layer{i}.ffn2.b"]
+            x = layer_norm(x + f, w[f"layer{i}.ln2.g"], w[f"layer{i}.ln2.b"])
+        return x
+
+    def __call__(self, ids) -> np.ndarray:
+        ids = np.asarray(ids, dtype=np.int64)
+        seq = self.encode(ids)
+        # MaskCalculator + Multiply: zero out pad positions BEFORE the heads
+        seq = seq * (ids != self.pad_id).astype(np.float64)[:, None]
+        out = np.empty((len(self.entity_types), len(ids), 5), dtype=np.float64)
+        for t_idx, t in enumerate(self.entity_types):
+            out[t_idx] = seq @ self.w[f"head.{t}.w"] + self.w[f"head.{t}.b"]
+        return out
+
+
+def naive_forward(model: NumpyBertNer, ids) -> np.ndarray:
+    """Independent slow re-implementation (per-position python loops, no
+    batched matmul reshapes) used by tests to cross-check the vectorized
+    forward — the in-sandbox stand-in for diffing against TF."""
+    w = model.w
+    ids = np.asarray(ids, dtype=np.int64)
+    n, d, h = len(ids), model.hidden, model.n_heads
+    dh = d // h
+    x = np.array(
+        [w["emb.word"][ids[p]] + w["emb.pos"][p] + w["emb.type"][0] for p in range(n)]
+    )
+    x = layer_norm(x, w["emb.ln.g"], w["emb.ln.b"])
+    for i in range(model.n_layers):
+        heads_out = np.zeros((n, d))
+        for head in range(h):
+            sl = slice(head * dh, (head + 1) * dh)
+            q = np.array([(x[p] @ w[f"layer{i}.q.w"] + w[f"layer{i}.q.b"])[sl] for p in range(n)])
+            k = np.array([(x[p] @ w[f"layer{i}.k.w"] + w[f"layer{i}.k.b"])[sl] for p in range(n)])
+            v = np.array([(x[p] @ w[f"layer{i}.v.w"] + w[f"layer{i}.v.b"])[sl] for p in range(n)])
+            for p in range(n):
+                scores = np.array(
+                    [
+                        q[p] @ k[j] / math.sqrt(dh)
+                        + (-1e9 if ids[j] == model.pad_id else 0.0)
+                        for j in range(n)
+                    ]
+                )
+                att = softmax_last(scores)
+                heads_out[p, sl] = sum(att[j] * v[j] for j in range(n))
+        a = heads_out @ w[f"layer{i}.o.w"] + w[f"layer{i}.o.b"]
+        x = layer_norm(x + a, w[f"layer{i}.ln1.g"], w[f"layer{i}.ln1.b"])
+        f = gelu(x @ w[f"layer{i}.ffn1.w"] + w[f"layer{i}.ffn1.b"])
+        f = f @ w[f"layer{i}.ffn2.w"] + w[f"layer{i}.ffn2.b"]
+        x = layer_norm(x + f, w[f"layer{i}.ln2.g"], w[f"layer{i}.ln2.b"])
+    x = x * (ids != model.pad_id).astype(np.float64)[:, None]
+    return np.stack(
+        [x @ w[f"head.{t}.w"] + w[f"head.{t}.b"] for t in model.entity_types]
+    )
+
+
+def synthetic_bundle(
+    entity_types: list[str],
+    vocab_size: int = 32,
+    hidden: int = 8,
+    n_layers: int = 2,
+    n_heads: int = 2,
+    max_pos: int = 64,
+    ffn: int = 16,
+    seed: int = 13,
+) -> dict:
+    """Seeded random weight bundle for tests and plumbing validation."""
+    rng = np.random.default_rng(seed)
+
+    def r(*shape):
+        return rng.normal(0.0, 0.05, size=shape)
+
+    w = {
+        "meta": np.array([n_layers, n_heads, 0]),
+        "emb.word": r(vocab_size, hidden),
+        "emb.pos": r(max_pos, hidden),
+        "emb.type": r(2, hidden),
+        "emb.ln.g": np.ones(hidden),
+        "emb.ln.b": np.zeros(hidden),
+    }
+    for i in range(n_layers):
+        for name in ("q", "k", "v", "o"):
+            w[f"layer{i}.{name}.w"] = r(hidden, hidden)
+            w[f"layer{i}.{name}.b"] = r(hidden)
+        w[f"layer{i}.ln1.g"] = np.ones(hidden)
+        w[f"layer{i}.ln1.b"] = np.zeros(hidden)
+        w[f"layer{i}.ffn1.w"] = r(hidden, ffn)
+        w[f"layer{i}.ffn1.b"] = r(ffn)
+        w[f"layer{i}.ffn2.w"] = r(ffn, hidden)
+        w[f"layer{i}.ffn2.b"] = r(hidden)
+        w[f"layer{i}.ln2.g"] = np.ones(hidden)
+        w[f"layer{i}.ln2.b"] = np.zeros(hidden)
+    for t in entity_types:
+        w[f"head.{t}.w"] = r(hidden, 5)
+        w[f"head.{t}.b"] = np.zeros(5)
+    return w
+
+
+def load_bundle(npz_path: str, entity_types: list[str]) -> NumpyBertNer:
+    with np.load(npz_path) as z:
+        return NumpyBertNer({k: z[k] for k in z.files}, entity_types)

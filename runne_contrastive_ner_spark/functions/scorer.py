@@ -287,18 +287,50 @@ class TransformerScorer(Scorer):
         self._model_loader = model_loader or self._load_model
         self._model = None
 
-    def _load_model(self):  # pragma: no cover - needs transformers/TF
-        try:
+    def _load_model(self):
+        """Resolve the forward pass. Preference order:
+
+        1. an engine-native ``ner.npz`` weight bundle next to ``ner.h5`` —
+           loaded into the pure-numpy BERT forward (functions/bert_numpy.py,
+           the exact ner.py:449-505 architecture: encoder → pad-mask
+           multiply → per-type Dense(5) logits), so executors need NO
+           deep-learning framework. A trained TF checkpoint converts to the
+           bundle offline with one small script wherever TF exists.
+        2. the transformers/TF runtime for ``ner.h5`` directly — not present
+           in this environment, so that path raises with instructions.
+        """
+        import os
+
+        npz_path = os.path.splitext(self.artifact["weights_path"])[0] + ".npz"
+        if os.path.exists(npz_path):
+            from runne_contrastive_ner_spark.functions.bert_numpy import (
+                load_bundle,
+            )
+            from runne_contrastive_ner_spark.functions.wordpiece import (
+                load_vocab_ids,
+            )
+
+            bundle = load_bundle(npz_path, self.entity_types)
+            vocab_ids = load_vocab_ids(
+                os.path.join(self.artifact["bert_path"], "vocab.txt")
+            )
+            unk = vocab_ids.get("[UNK]", 0)
+
+            def forward(pieces: list[str]) -> np.ndarray:
+                return bundle([vocab_ids.get(p, unk) for p in pieces])
+
+            return forward
+        try:  # pragma: no cover - needs transformers/TF
             import transformers  # noqa: F401
         except ImportError as exc:
             raise NotImplementedError(
-                "the transformers/TF runtime is not present in this"
-                " environment; the artifact at"
-                f" {self.artifact['bert_path']!r} is validated and wired, but"
-                " the forward pass cannot run — use GazetteerScorer or"
-                " inject model_loader"
+                "no ner.npz bundle found and the transformers/TF runtime is"
+                " not present in this environment; the artifact at"
+                f" {self.artifact['bert_path']!r} is validated and wired —"
+                " convert ner.h5 to ner.npz offline (bert_numpy.py key"
+                " layout) or inject model_loader"
             ) from exc
-        raise NotImplementedError(
+        raise NotImplementedError(  # pragma: no cover
             "build TFBertModel + per-type TimeDistributed(Dense(5)) heads and"
             " load ner.h5 here (ner.py:449-505)"
         )

@@ -188,6 +188,16 @@ class WordPieceTokenizer:
         return out
 
 
+@lru_cache(maxsize=8)
+def load_vocab_ids(vocab_path: str) -> dict:
+    """token → row index (the BERT id space: vocab.txt line number).
+    Memoized per path like load_wordpiece."""
+    with open(vocab_path, encoding="utf-8") as f:
+        return {
+            line.rstrip("\n"): i for i, line in enumerate(f) if line.rstrip("\n")
+        }
+
+
 def load_vocab(vocab_path: str) -> frozenset[str]:
     with open(vocab_path, encoding="utf-8") as f:
         return frozenset(line.rstrip("\n") for line in f if line.rstrip("\n"))

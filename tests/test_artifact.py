@@ -112,3 +112,84 @@ def test_scorer_with_injected_forward(artifact_dir):
     logits = score_windows(scorer, ["tok"] * 300)  # forces 3 windows of 128
     assert logits.shape == (3, 300, N_CLASSES)
     assert np.all(logits[:, :, 0] == 2.0)
+
+
+# --- numpy forward (ner.npz bundle) ------------------------------------------
+
+
+@pytest.fixture()
+def npz_artifact_dir(artifact_dir):
+    """artifact_dir + an engine-native weight bundle and a tiny vocab."""
+    from runne_contrastive_ner_spark.functions.bert_numpy import (
+        synthetic_bundle,
+    )
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"] + list("abcdefgh") + [
+        "##" + c for c in "abcdefgh"
+    ] + ["hello", "world"]
+    (artifact_dir / "bert" / "vocab.txt").write_text("\n".join(vocab))
+    w = synthetic_bundle(
+        GOOD_CONFIG["named_entities"], vocab_size=len(vocab), max_pos=128
+    )
+    np.savez(str(artifact_dir / "ner.npz"), **w)
+    return artifact_dir
+
+
+def test_numpy_forward_matches_naive(npz_artifact_dir):
+    """The vectorized encoder must agree with an independent per-position
+    loop re-implementation — the in-sandbox stand-in for diffing vs TF."""
+    from runne_contrastive_ner_spark.functions.bert_numpy import (
+        load_bundle,
+        naive_forward,
+    )
+
+    m = load_bundle(
+        str(npz_artifact_dir / "ner.npz"), GOOD_CONFIG["named_entities"]
+    )
+    ids = [2, 4, 5, 6, 19, 3, 0, 0]  # [CLS] a b c hello [SEP] pad pad
+    fast = m(ids)
+    slow = naive_forward(m, ids)
+    assert fast.shape == (3, 8, 5)
+    assert np.abs(fast - slow).max() < 1e-9
+
+
+def test_numpy_forward_pad_positions_are_bias_only(npz_artifact_dir):
+    from runne_contrastive_ner_spark.functions.bert_numpy import load_bundle
+
+    m = load_bundle(
+        str(npz_artifact_dir / "ner.npz"), GOOD_CONFIG["named_entities"]
+    )
+    out = m([2, 4, 3, 0, 0])
+    for t_idx, t in enumerate(GOOD_CONFIG["named_entities"]):
+        bias = m.w[f"head.{t}.b"]
+        assert np.abs(out[t_idx, 3:] - bias).max() == 0.0  # masked -> bias
+
+
+def test_transformer_scorer_runs_numpy_bundle(npz_artifact_dir):
+    """TransformerScorer end-to-end on the npz path: logits -> valid
+    probabilities through the standard window slicing, deterministic."""
+    from runne_contrastive_ner_spark.functions.decode import (
+        softmax,
+        validate_probabilities,
+    )
+
+    sc = TransformerScorer(str(npz_artifact_dir))
+    pieces = ["[CLS]", "a", "##b", "hello", "world", "[SEP]"]
+    logits = score_windows(sc, pieces)
+    assert logits.shape == (3, len(pieces), N_CLASSES)
+    for t in range(3):
+        validate_probabilities(softmax(logits[t], axis=-1))
+    again = score_windows(sc, pieces)
+    assert np.array_equal(logits, again)
+
+
+def test_detect_mentions_with_numpy_scorer(npz_artifact_dir):
+    from runne_contrastive_ner_spark.operators.mentions import (
+        detect_mentions_in_text,
+    )
+
+    sc = TransformerScorer(str(npz_artifact_dir))
+    out = detect_mentions_in_text("hello world abc.", sc)
+    assert isinstance(out, list)
+    for etype, a, b in out:
+        assert etype in GOOD_CONFIG["named_entities"] and 0 <= a < b
