@@ -121,6 +121,53 @@ class NumpyBertNer:
             out[t_idx] = seq @ self.w[f"head.{t}.w"] + self.w[f"head.{t}.b"]
         return out
 
+    # --- batched forward (all windows of a document in one pass) -------------
+    def _attention_batch(
+        self, x: np.ndarray, i: int, add_mask: np.ndarray
+    ) -> np.ndarray:
+        w = self.w
+        bsz, n, d = x.shape
+        h = self.n_heads
+        dh = d // h
+
+        def proj(name):
+            m = x @ w[f"layer{i}.{name}.w"] + w[f"layer{i}.{name}.b"]
+            return m.reshape(bsz, n, h, dh).transpose(0, 2, 1, 3)  # [B,h,n,dh]
+
+        q, k, v = proj("q"), proj("k"), proj("v")
+        scores = q @ k.transpose(0, 1, 3, 2) / math.sqrt(dh)  # [B,h,n,n]
+        scores = scores + add_mask[:, None, None, :]
+        ctx = softmax_last(scores) @ v
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(bsz, n, d)
+        return ctx @ w[f"layer{i}.o.w"] + w[f"layer{i}.o.b"]
+
+    def batch(self, ids_batch) -> list[np.ndarray]:
+        """Score B equal-length windows in ONE forward (the reference runs
+        model.predict per window, batch_size=1, recognize.py:73 — this is
+        the model-level batching that undoes it). Returns a list of
+        [n_types, n, 5] logits, one per window, numerically within BLAS
+        reduction tolerance of the per-window forward."""
+        ids = np.asarray(ids_batch, dtype=np.int64)  # [B, n]
+        w = self.w
+        bsz, n = ids.shape
+        x = w["emb.word"][ids] + w["emb.pos"][:n][None, :, :] + w["emb.type"][0]
+        x = layer_norm(x, w["emb.ln.g"], w["emb.ln.b"])
+        add_mask = np.where(ids == self.pad_id, -1e9, 0.0)  # [B, n]
+        for i in range(self.n_layers):
+            a = self._attention_batch(x, i, add_mask)
+            x = layer_norm(x + a, w[f"layer{i}.ln1.g"], w[f"layer{i}.ln1.b"])
+            f = gelu(x @ w[f"layer{i}.ffn1.w"] + w[f"layer{i}.ffn1.b"])
+            f = f @ w[f"layer{i}.ffn2.w"] + w[f"layer{i}.ffn2.b"]
+            x = layer_norm(x + f, w[f"layer{i}.ln2.g"], w[f"layer{i}.ln2.b"])
+        x = x * (ids != self.pad_id).astype(np.float64)[:, :, None]
+        out = np.stack(
+            [
+                x @ self.w[f"head.{t}.w"] + self.w[f"head.{t}.b"]
+                for t in self.entity_types
+            ]
+        )  # [T, B, n, 5]
+        return [out[:, b] for b in range(bsz)]
+
 
 def naive_forward(model: NumpyBertNer, ids) -> np.ndarray:
     """Independent slow re-implementation (per-position python loops, no

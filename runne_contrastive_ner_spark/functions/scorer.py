@@ -315,9 +315,11 @@ class TransformerScorer(Scorer):
                 os.path.join(self.artifact["bert_path"], "vocab.txt")
             )
             unk = vocab_ids.get("[UNK]", 0)
+            self._bundle = bundle
+            self._ids = lambda pieces: [vocab_ids.get(p, unk) for p in pieces]
 
             def forward(pieces: list[str]) -> np.ndarray:
-                return bundle([vocab_ids.get(p, unk) for p in pieces])
+                return bundle(self._ids(pieces))
 
             return forward
         try:  # pragma: no cover - needs transformers/TF
@@ -340,6 +342,17 @@ class TransformerScorer(Scorer):
             self._model = self._model_loader()
         return self._model(pieces)
 
+    def score_pieces_batch(self, windows: list[list[str]]) -> list[np.ndarray]:
+        """All of a document's windows in one model forward when the numpy
+        bundle backs the scorer (batch dimension through the encoder);
+        injected model_loaders fall back to per-window calls."""
+        if self._model is None:
+            self._model = self._model_loader()
+        bundle = getattr(self, "_bundle", None)
+        if bundle is None:
+            return [self._model(win) for win in windows]
+        return bundle.batch([self._ids(win) for win in windows])
+
 
 def score_windows(scorer: Scorer, pieces: list[str], window: int | None = None) -> np.ndarray:
     """M1 window slicing: pad the subtoken sequence to a multiple of the
@@ -349,7 +362,16 @@ def score_windows(scorer: Scorer, pieces: list[str], window: int | None = None) 
         return np.zeros((len(scorer.entity_types), 0, N_CLASSES))
     w = window or getattr(scorer, "window", DEFAULT_WINDOW)
     padded = list(pieces) + ["[PAD]"] * ((-len(pieces)) % w)
-    chunks = [scorer.score_pieces(padded[i : i + w]) for i in range(0, len(padded), w)]
+    windows = [padded[i : i + w] for i in range(0, len(padded), w)]
+    batch = getattr(scorer, "score_pieces_batch", None)
+    if batch is not None and len(windows) > 1:
+        # one batched forward over ALL windows (the reference scores
+        # batch_size=1, recognize.py:73 — this undoes that at the model
+        # level, not just the Arrow level); scorers without the batch form
+        # fall through to per-window calls
+        chunks = batch(windows)
+    else:
+        chunks = [scorer.score_pieces(win) for win in windows]
     stacked = np.concatenate(chunks, axis=1)
     return stacked[:, : len(pieces), :]
 

@@ -193,3 +193,30 @@ def test_detect_mentions_with_numpy_scorer(npz_artifact_dir):
     assert isinstance(out, list)
     for etype, a, b in out:
         assert etype in GOOD_CONFIG["named_entities"] and 0 <= a < b
+
+
+def test_batched_windows_match_per_window(npz_artifact_dir):
+    """Multi-window documents run ONE batched encoder forward; results must
+    agree with the per-window path to BLAS reduction tolerance."""
+    from runne_contrastive_ner_spark.functions.bert_numpy import load_bundle
+
+    m = load_bundle(
+        str(npz_artifact_dir / "ner.npz"), GOOD_CONFIG["named_entities"]
+    )
+    wins = [[2, 4, 5, 3, 0, 0], [2, 19, 20, 6, 7, 3], [2, 3, 0, 0, 0, 0]]
+    batched = m.batch(wins)
+    for win, got in zip(wins, batched):
+        assert np.abs(got - m(win)).max() < 1e-9
+
+    sc = TransformerScorer(str(npz_artifact_dir))
+    # a 3-window document through score_windows exercises the batch path
+    pieces = (["hello", "world"] * 200)[: 3 * 128 - 5]
+    full = score_windows(sc, pieces)
+    per_window = np.concatenate(
+        [
+            sc.score_pieces((pieces + ["[PAD]"] * 400)[i : i + 128])
+            for i in range(0, 3 * 128, 128)
+        ],
+        axis=1,
+    )[:, : len(pieces), :]
+    assert np.abs(full - per_window).max() < 1e-9
