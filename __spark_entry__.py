@@ -348,6 +348,27 @@ def _subtokens(t: DataFrame) -> DataFrame:
     )
 
 
+def kg_mention_eval_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The competition's aggregation protocol (RuNNE macro over entity
+    types; reference README.md:6-10): unweighted mean of per-type
+    precision/recall/F1 from the span-level eval — one row."""
+    per = kg_mention_eval(spark, sf_dir)
+    f1 = F.when(
+        (F.col("precision") + F.col("recall")) > 0,
+        2 * F.col("precision") * F.col("recall")
+        / (F.col("precision") + F.col("recall")),
+    ).otherwise(F.lit(0.0))
+    return (
+        per.withColumn("f1", f1)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.round(F.avg("precision"), 6).alias("macro_precision"),
+            F.round(F.avg("recall"), 6).alias("macro_recall"),
+            F.round(F.avg("f1"), 6).alias("macro_f1"),
+        )
+    )
+
+
 def kg_mention_eval_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 in the reference's own form (neural_network/utils.py:143-180):
     TOKEN-level entity-vs-O binarized micro precision/recall per type plane —
@@ -511,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_freqs": kg_type_freqs,
         "kg_embedding_components": kg_embedding_components,
         "kg_mention_eval": kg_mention_eval,
+        "kg_mention_eval_macro": kg_mention_eval_macro,
         "kg_mention_eval_token": kg_mention_eval_token,
         "kg_entity_degrees": kg_entity_degrees,
         "kg_conv_summaries": kg_conv_summaries,

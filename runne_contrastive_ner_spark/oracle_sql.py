@@ -1069,6 +1069,42 @@ SELECT type, sum(is_tp)::BIGINT AS tp, sum(is_fp)::BIGINT AS fp,
        round(sum(is_tp) / greatest(sum(is_tp) + sum(is_fn), 1), 6)::DOUBLE AS recall
 FROM joined GROUP BY type ORDER BY type
     """,
+    # macro aggregation of the span-level eval (the RuNNE competition
+    # protocol: unweighted mean over types; F1 from the rounded p/r exactly
+    # as the engine computes it)
+    "kg_mention_eval_macro": f"""
+WITH transcripts AS ({DUCKDB_TRANSCRIPTS_SQL}),
+{mention_ctes("p_")},
+{mention_ctes("g_", EVAL_GOLD_GAZETTEER)},
+joined AS (
+  SELECT coalesce(p.type, g.type) AS type,
+         CASE WHEN p.type IS NOT NULL AND g.type IS NOT NULL THEN 1 ELSE 0 END AS is_tp,
+         CASE WHEN p.type IS NOT NULL AND g.type IS NULL THEN 1 ELSE 0 END AS is_fp,
+         CASE WHEN p.type IS NULL AND g.type IS NOT NULL THEN 1 ELSE 0 END AS is_fn
+  FROM p_mentions p
+  FULL OUTER JOIN g_mentions g
+    ON p.conv_id = g.conv_id AND p.turn_idx = g.turn_idx AND p.type = g.type
+   AND p.start = g.start AND p."end" = g."end"
+),
+per AS (
+  SELECT type,
+         round(sum(is_tp) / greatest(sum(is_tp) + sum(is_fp), 1), 6)::DOUBLE AS precision,
+         round(sum(is_tp) / greatest(sum(is_tp) + sum(is_fn), 1), 6)::DOUBLE AS recall
+  FROM joined GROUP BY type
+),
+scored AS (
+  SELECT *,
+         CASE WHEN precision + recall > 0
+              THEN 2 * precision * recall / (precision + recall)
+              ELSE 0.0 END AS f1
+  FROM per
+)
+SELECT count(*)::BIGINT AS n_types,
+       round(avg(precision), 6)::DOUBLE AS macro_precision,
+       round(avg(recall), 6)::DOUBLE AS macro_recall,
+       round(avg(f1), 6)::DOUBLE AS macro_f1
+FROM scored
+    """,
     "kg_role_triples": f"""
 WITH RECURSIVE placeholder AS (SELECT 1),
 {kg_common_ctes()[5:]},
