@@ -7,10 +7,11 @@ skips any stage whose manifest fingerprint matches — that IS the resume
 mechanism demanded by the north rule (stage outputs are the checkpoints;
 partial stage outputs without a manifest are ignored and overwritten).
 
-Caveat (Parquet fallback): overwriting a stage table in place invalidates any
-still-live DataFrame handle that was read from the old files — callers must
-re-read through TableIO after a reconfigured run instead of holding handles.
-Under Iceberg this is a non-issue (snapshot isolation).
+Snapshot isolation: TableIO's Parquet fallback writes every overwrite into a
+fresh immutable snapshot directory behind an atomically-switched pointer
+(tables.py), mirroring Iceberg's semantics — a DataFrame handle read before a
+re-run keeps resolving its own snapshot's files across one overwrite, and
+rewriting a table while reading it (compaction) is safe by construction.
 """
 
 from __future__ import annotations
@@ -107,6 +108,10 @@ class StageRunner:
             partition_rows=partition_lineage(out, lineage_key),
             wall_sec=round(time.time() - t0, 3),
             files=getattr(self.io, "file_stats", lambda _t: {})(stage),
+            extra={
+                # lineage: which snapshot this manifest describes
+                "snapshot": getattr(self.io, "current_version", lambda _t: None)(stage)
+            },
         )
         write_manifest(path, mf)
         self.metrics[stage] = mf
@@ -130,29 +135,23 @@ def compact_stage(
     manifest's file stats while PRESERVING its fingerprint — content is
     unchanged, so resume semantics are untouched.
 
-    Safe against in-place overwrite (reading and overwriting the same
-    Parquet path is not): writes to a sibling temp dir, then swaps.
+    Reading and rewriting the same table is safe under TableIO's snapshot
+    isolation: the read plan resolves the current snapshot's files while the
+    rewrite lands in a new snapshot directory, visible only at the atomic
+    pointer switch (exactly Iceberg's ``rewrite_data_files`` behavior).
     """
-    import shutil
-
     mf = load_manifest(io.path(stage))
     if mf is None:
         raise ValueError(f"stage {stage!r} has no manifest to compact")
     df = io.read(stage)
-    tmp_stage = f"{stage}__compacting"
     if partition_col is not None:
         n = shuffle_parts or df.sparkSession.sparkContext.defaultParallelism
         df = df.repartition(n, F.col(partition_col))
-        io.write(df, tmp_stage, partition_cols=[partition_col])
+        io.write(df, stage, partition_cols=[partition_col])
     else:
         df = df.coalesce(1 if shuffle_parts is None else shuffle_parts)
-        io.write(df, tmp_stage)
-    src, dst = io.path(tmp_stage), io.path(stage)
-    backup = dst + "__pre_compact"
-    os.rename(dst, backup)
-    os.rename(src, dst)
-    shutil.rmtree(backup)
+        io.write(df, stage)
     mf.files = io.file_stats(stage)
     mf.extra = {**mf.extra, "compacted": True}
-    write_manifest(dst, mf)
+    write_manifest(io.path(stage), mf)
     return mf

@@ -45,7 +45,33 @@ class TableIO:
                 self.use_iceberg = False
 
     def path(self, table: str) -> str:
+        """Table ROOT (manifest home; snapshot dirs live beneath it)."""
         return os.path.join(self.warehouse, table)
+
+    # --- snapshot versioning (Parquet fallback) ------------------------------
+    # Iceberg gives snapshot isolation natively; the fallback reproduces the
+    # observable semantics: every write lands in a NEW immutable snapshot
+    # directory (v000000, v000001, ...) and readers are routed through an
+    # atomically-switched pointer file, so a DataFrame handle read before an
+    # overwrite keeps resolving its own snapshot's files. The previous
+    # snapshot is retained (handles stay valid across ONE overwrite — the
+    # pipeline's re-run pattern); older snapshots are garbage-collected.
+
+    def _pointer_path(self, table: str) -> str:
+        return os.path.join(self.path(table), "_current")
+
+    def current_version(self, table: str) -> int | None:
+        p = self._pointer_path(table)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def data_path(self, table: str, version: int | None = None) -> str:
+        v = self.current_version(table) if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"table {table!r} has no snapshot yet")
+        return os.path.join(self.path(table), f"v{v:06d}")
 
     def write(self, df: DataFrame, table: str, partition_cols: list[str] | None = None, mode: str = "overwrite") -> None:
         if self.use_iceberg:  # pragma: no cover
@@ -55,18 +81,34 @@ class TableIO:
             else:
                 writer.append()
             return
-        writer = df.write.mode(mode)
+        import shutil
+
+        root = self.path(table)
+        os.makedirs(root, exist_ok=True)
+        cur = self.current_version(table)
+        v = 0 if cur is None else cur + 1
+        target = self.data_path(table, v)
+        writer = df.write.mode("overwrite")  # target dir is always fresh
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
-        writer.parquet(self.path(table))
-        if partition_cols and not self._has_data_files(table):
+        writer.parquet(target)
+        if partition_cols and not self._has_data_files(target):
             # a partitionBy write of an EMPTY DataFrame emits _SUCCESS but no
             # data files, which breaks schema inference on read-back; rewrite
-            # the empty table unpartitioned so the schema is preserved
-            df.limit(0).write.mode("overwrite").parquet(self.path(table))
+            # the empty snapshot unpartitioned so the schema is preserved
+            df.limit(0).write.mode("overwrite").parquet(target)
+        # atomic pointer switch: the snapshot becomes visible only here
+        tmp = self._pointer_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer_path(table))
+        # GC snapshots older than the previous one
+        for name in os.listdir(root):
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < v - 1:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
-    def _has_data_files(self, table: str) -> bool:
-        for _root, _dirs, files in os.walk(self.path(table)):
+    def _has_data_files(self, data_dir: str) -> bool:
+        for _root, _dirs, files in os.walk(data_dir):
             if any(f.endswith(".parquet") for f in files):
                 return True
         return False
@@ -79,7 +121,7 @@ class TableIO:
         time. (Iceberg backend exposes the same via its metadata tables.)"""
         if self.use_iceberg:  # pragma: no cover
             return {}
-        root = self.path(table)
+        root = self.data_path(table)  # current snapshot only
         n_files = 0
         n_bytes = 0
         per_part: dict[str, int] = {}
@@ -100,15 +142,29 @@ class TableIO:
             "files_per_partition": per_part,
         }
 
-    def read(self, table: str) -> DataFrame:
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Read the current snapshot, or time-travel to ``version`` if it is
+        still retained (current + one predecessor; Iceberg's
+        ``VERSION AS OF`` with a 2-snapshot retention policy)."""
         if self.use_iceberg:  # pragma: no cover
+            if version is not None:
+                return self.spark.read.option("snapshot-id", version).table(
+                    f"local.db.{table}"
+                )
             return self.spark.read.table(f"local.db.{table}")
-        return self.spark.read.parquet(self.path(table))
+        p = self.data_path(table, version)
+        if version is not None and not os.path.isdir(p):
+            raise FileNotFoundError(
+                f"table {table!r} snapshot v{version} expired (retention: current + 1)"
+            )
+        return self.spark.read.parquet(p)
 
     def exists(self, table: str) -> bool:
         if self.use_iceberg:  # pragma: no cover
             return self.spark.catalog.tableExists(f"local.db.{table}")
-        p = self.path(table)
+        if self.current_version(table) is None:
+            return False
+        p = self.data_path(table)
         return os.path.exists(os.path.join(p, "_SUCCESS")) or (
             os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p))
         )
