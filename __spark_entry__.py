@@ -194,6 +194,50 @@ def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk centrality over the undirected co-occurrence graph:
+    fixed-iteration PageRank with quantized-integer mass
+    (operators/graph.py) — bit-deterministic under any parallelism, so the
+    DuckDB oracle unrolls the IDENTICAL integer iterations in SQL."""
+    from runne_contrastive_ner_spark.operators.graph import pagerank
+
+    t = _triples(spark, sf_dir).filter(F.col("pred") == "co_occurs_with")
+    pairs = t.select("subj", "obj").distinct()
+    nbrs = (
+        pairs.unionByName(
+            pairs.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+        )
+        .distinct()
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+    out = pagerank(nbrs, iterations=3)
+    return out.select(F.col("src").alias("canonical_id"), "pr_q").orderBy(
+        F.desc("pr_q"), "canonical_id"
+    )
+
+
+def kg_entity_lifespans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG surface: per canonical entity, first/last observation
+    time (epoch seconds — integral, so the value hash is stable), active
+    span, and distinct conversation/turn reach."""
+    _, _, linked = _linked(spark, sf_dir)
+    t = from_documents(spark, sf_dir).select("conv_id", "turn_idx", "ts")
+    m = linked.join(t, ["conv_id", "turn_idx"])
+    return (
+        m.groupBy("canonical_id")
+        .agg(
+            F.unix_timestamp(F.min("ts")).cast("long").alias("first_seen"),
+            F.unix_timestamp(F.max("ts")).cast("long").alias("last_seen"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("long")
+            .alias("active_sec"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.countDistinct("conv_id", "turn_idx").cast("long").alias("n_turns"),
+        )
+        .orderBy("canonical_id")
+    )
+
+
 def kg_type_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A6 in its native form: entity-occurrence frequency report by type
     over detected mentions (train_test_split.py:6-24 semantics)."""
@@ -529,6 +573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": kg_triples,
         "kg_role_triples": kg_role_triples,
         "kg_two_hop": kg_two_hop,
+        "kg_pagerank": kg_pagerank,
+        "kg_entity_lifespans": kg_entity_lifespans,
         "kg_type_freqs": kg_type_freqs,
         "kg_embedding_components": kg_embedding_components,
         "kg_mention_eval": kg_mention_eval,

@@ -1,0 +1,76 @@
+"""Graph analytics over the materialized KG: fixed-iteration PageRank.
+
+Consumes the symmetrized co-occurrence edge list the linking stage emits
+(same graph as the two-hop / degree queries) and ranks canonical entities
+by random-walk centrality — the standard "which entities anchor this
+corpus" signal a KG product exposes next to degree counts.
+
+Determinism at scale: floating-point summation across a shuffle is
+order-dependent, so two runs (or two cluster sizes) of a float PageRank
+disagree in the low bits and a value-hash oracle can never pin it. Rank
+mass is therefore carried as QUANTIZED INTEGER units (``scale`` = 1e12 of
+total mass) with integer division for the per-edge spread and the damping
+blend — every step is an associative/commutative int64 operation, so the
+result is bit-identical under any partitioning / parallelism and exactly
+replayable in ANSI SQL (the DuckDB oracle unrolls the same iterations).
+The truncation error this trades away is ~deg/1e12 mass per node per
+iteration — invisible at rank granularity.
+
+Shuffle shape: each iteration is one equi-join (ranks × edges, both keyed
+on the source node) + one groupBy on the destination — two shuffles per
+iteration on stable keys, no driver-side data loops (the only driver
+action is the bounded node-count scalar). Fixed ``iterations`` keeps the
+lineage short; callers running many iterations should localCheckpoint the
+rank table every ~10 rounds (same guidance as components.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def pagerank(
+    nbrs: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+) -> DataFrame:
+    """PageRank over a symmetrized edge list ``(src, dst)``.
+
+    ``nbrs`` must contain each undirected edge in BOTH directions (the
+    shape kg_two_hop/kg_entity_degrees already build); every node then has
+    out-degree >= 1, so there is no dangling-mass redistribution term.
+    ``damping_pct`` is the damping factor in integer percent (85 = 0.85).
+
+    Returns ``(src, pr_q)`` where ``pr_q`` is the quantized rank in
+    ``scale`` units of total mass (sum over nodes <= scale; the shortfall
+    is integer-truncation dust).
+    """
+    # truncate the upstream lineage once: every iteration re-references the
+    # edge list, and without this the (potentially expensive) graph
+    # derivation would be replayed O(iterations) times in the physical plan
+    # (same rationale as components.py's checkpoint cadence)
+    nbrs = nbrs.localCheckpoint(eager=True)
+    deg = nbrs.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    n = deg.count()  # bounded scalar: one number for the teleport term
+    if n == 0:
+        return deg.select("src", F.lit(0).cast("long").alias("pr_q"))
+    base = (scale * (100 - damping_pct) // 100) // n
+    pr = deg.select("src", F.lit(scale // n).cast("long").alias("pr_q"), "deg")
+    for _ in range(iterations):
+        contrib = pr.join(nbrs, "src").select(
+            F.col("dst").alias("src"), F.expr("pr_q DIV deg").alias("c")
+        )
+        sums = contrib.groupBy("src").agg(F.sum("c").cast("long").alias("s"))
+        pr = deg.join(sums, "src", "left").select(
+            "src",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(s, 0L)) DIV 100")
+            ).cast("long").alias("pr_q"),
+            "deg",
+        )
+    return pr.select("src", "pr_q")

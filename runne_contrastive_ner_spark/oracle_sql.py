@@ -1160,6 +1160,65 @@ WITH RECURSIVE placeholder AS (SELECT 1),
 SELECT type, count(*)::BIGINT AS freq
 FROM mentions GROUP BY type ORDER BY freq DESC, type
     """,
+    # replays operators/graph.py EXACTLY: quantized-integer PageRank, 3
+    # unrolled iterations, scale 1e12, damping 85% — every step is int64
+    # floor division/sum, so Spark and DuckDB agree bit-for-bit (mirrored
+    # constants: scale, damping, iteration count)
+    "kg_pagerank": f"""
+WITH RECURSIVE placeholder AS (SELECT 1),
+{kg_common_ctes()[5:]},
+turn_ents AS (
+  SELECT DISTINCT m.conv_id, m.turn_idx, e.canonical_id
+  FROM mentions m JOIN entities e ON e.surface_norm = m.surface_norm
+),
+co AS (
+  SELECT DISTINCT a.canonical_id AS src, b.canonical_id AS dst
+  FROM turn_ents a JOIN turn_ents b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND a.canonical_id < b.canonical_id
+),
+nbrs AS (SELECT src, dst FROM co UNION SELECT dst, src FROM co),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM nbrs GROUP BY src),
+nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+pr0 AS (SELECT d.src, (1000000000000 // n)::BIGINT AS pr_q, d.deg
+        FROM deg d CROSS JOIN nn),
+s1 AS (SELECT nb.dst AS src, sum(p.pr_q // p.deg)::BIGINT AS s
+       FROM pr0 p JOIN nbrs nb ON nb.src = p.src GROUP BY nb.dst),
+pr1 AS (SELECT d.src,
+               ((1000000000000 * 15 // 100 // n)
+                + (85 * coalesce(i.s, 0)) // 100)::BIGINT AS pr_q, d.deg
+        FROM deg d CROSS JOIN nn LEFT JOIN s1 i ON i.src = d.src),
+s2 AS (SELECT nb.dst AS src, sum(p.pr_q // p.deg)::BIGINT AS s
+       FROM pr1 p JOIN nbrs nb ON nb.src = p.src GROUP BY nb.dst),
+pr2 AS (SELECT d.src,
+               ((1000000000000 * 15 // 100 // n)
+                + (85 * coalesce(i.s, 0)) // 100)::BIGINT AS pr_q, d.deg
+        FROM deg d CROSS JOIN nn LEFT JOIN s2 i ON i.src = d.src),
+s3 AS (SELECT nb.dst AS src, sum(p.pr_q // p.deg)::BIGINT AS s
+       FROM pr2 p JOIN nbrs nb ON nb.src = p.src GROUP BY nb.dst),
+pr3 AS (SELECT d.src,
+               ((1000000000000 * 15 // 100 // n)
+                + (85 * coalesce(i.s, 0)) // 100)::BIGINT AS pr_q, d.deg
+        FROM deg d CROSS JOIN nn LEFT JOIN s3 i ON i.src = d.src)
+SELECT src AS canonical_id, pr_q FROM pr3 ORDER BY pr_q DESC, canonical_id
+    """,
+    "kg_entity_lifespans": f"""
+WITH RECURSIVE placeholder AS (SELECT 1),
+{kg_common_ctes()[5:]},
+ment_ts AS (
+  SELECT e.canonical_id, m.conv_id, m.turn_idx, t.ts
+  FROM mentions m
+  JOIN entities e ON e.surface_norm = m.surface_norm
+  JOIN transcripts t ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
+)
+SELECT canonical_id,
+       epoch(min(ts))::BIGINT AS first_seen,
+       epoch(max(ts))::BIGINT AS last_seen,
+       (epoch(max(ts)) - epoch(min(ts)))::BIGINT AS active_sec,
+       count(DISTINCT conv_id)::BIGINT AS n_convs,
+       count(DISTINCT (conv_id, turn_idx))::BIGINT AS n_turns
+FROM ment_ts GROUP BY canonical_id ORDER BY canonical_id
+    """,
 }
 
 def subtok_ctes() -> str:

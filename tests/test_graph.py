@@ -1,0 +1,68 @@
+"""PageRank operator (operators/graph.py): quantized-integer mass makes the
+result bit-deterministic under any partitioning — pinned against an exact
+pure-Python integer replay, plus structural sanity on a star graph."""
+
+from pyspark.sql import functions as F
+
+from runne_contrastive_ner_spark.operators.graph import SCALE, pagerank
+
+
+def _pagerank_local(edges, iterations=3, damping_pct=85, scale=SCALE):
+    """Driver-side exact replay of the operator's integer arithmetic."""
+    nbrs = sorted(set(edges) | {(b, a) for a, b in edges})
+    deg: dict[str, int] = {}
+    for a, _ in nbrs:
+        deg[a] = deg.get(a, 0) + 1
+    n = len(deg)
+    base = (scale * (100 - damping_pct) // 100) // n
+    pr = {v: scale // n for v in deg}
+    for _ in range(iterations):
+        s = {v: 0 for v in deg}
+        for a, b in nbrs:
+            s[b] += pr[a] // deg[a]
+        pr = {v: base + (damping_pct * s[v]) // 100 for v in deg}
+    return pr
+
+
+def _to_df(spark, edges):
+    both = sorted(set(edges) | {(b, a) for a, b in edges})
+    return spark.createDataFrame(both, ["src", "dst"])
+
+
+class TestPageRank:
+    EDGES = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),  # cluster with hub a
+        ("e", "f"),                                       # separate pair
+        ("d", "e"),                                       # bridge
+    ]
+
+    def test_matches_integer_replay_exactly(self, spark):
+        got = {
+            r.src: r.pr_q for r in pagerank(_to_df(spark, self.EDGES)).collect()
+        }
+        assert got == _pagerank_local(self.EDGES)
+
+    def test_parallelism_invariant(self, spark):
+        """The determinism claim itself: 1-partition and 16-partition runs
+        produce identical BIGINT ranks (a float PageRank would differ in
+        the low bits across shuffle orders)."""
+        df = _to_df(spark, self.EDGES)
+        one = {r.src: r.pr_q for r in pagerank(df.coalesce(1)).collect()}
+        many = {r.src: r.pr_q for r in pagerank(df.repartition(16)).collect()}
+        assert one == many
+
+    def test_star_hub_ranks_highest_and_mass_conserved(self, spark):
+        star = [("hub", f"leaf{i}") for i in range(20)]
+        rows = pagerank(_to_df(spark, star), iterations=5).collect()
+        pr = {r.src: r.pr_q for r in rows}
+        assert pr["hub"] == max(pr.values())
+        assert all(pr["hub"] > v for k, v in pr.items() if k != "hub")
+        # leaves are symmetric -> identical quantized rank
+        assert len({v for k, v in pr.items() if k != "hub"}) == 1
+        # mass conservation up to integer-truncation dust
+        total = sum(pr.values())
+        assert SCALE * 0.999 <= total <= SCALE
+
+    def test_empty_graph(self, spark):
+        df = spark.createDataFrame([], "src string, dst string")
+        assert pagerank(df).count() == 0
