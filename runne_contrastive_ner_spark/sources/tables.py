@@ -159,6 +159,44 @@ class TableIO:
             )
         return self.spark.read.parquet(p)
 
+    def merge(
+        self,
+        table: str,
+        updates: DataFrame,
+        key_cols: list[str],
+        partition_cols: list[str] | None = None,
+    ) -> None:
+        """Upsert ``updates`` into ``table`` by key — the MERGE INTO
+        (WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT) shape:
+        target rows whose key appears in ``updates`` are replaced wholesale,
+        other target rows are kept, and new keys are inserted.
+
+        Executed as one left-anti equi-join on the key plus a union into a
+        fresh snapshot — the copy-on-write MERGE strategy; reading and
+        rewriting the same table is safe under snapshot isolation. A
+        multi-row key group in ``updates`` replaces the whole matched group
+        (delete-key-then-insert semantics), which is what a re-processed
+        conversation needs: stale mention rows for the key cannot survive.
+
+        On a real Iceberg deployment the native ``MERGE INTO`` with
+        merge-on-read deletes is the fast path for point updates; this
+        copy-on-write form is the right trade for the pipeline's unit of
+        work (whole-conversation reprocessing, where most of the partition
+        changes anyway).
+        """
+        if not self.exists(table):
+            self.write(updates, table, partition_cols=partition_cols)
+            return
+        current = self.read(table)
+        kept = current.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        self.write(
+            kept.unionByName(updates.select(*current.columns)),
+            table,
+            partition_cols=partition_cols,
+        )
+
     def exists(self, table: str) -> bool:
         if self.use_iceberg:  # pragma: no cover
             return self.spark.catalog.tableExists(f"local.db.{table}")

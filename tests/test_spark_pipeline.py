@@ -377,6 +377,29 @@ class TestSnapshotIsolation:
         with pytest.raises(FileNotFoundError):  # v0 expired (retention 2)
             io.read("t", version=0)
 
+    def test_merge_upsert(self, spark, tmp_path):
+        """MERGE INTO semantics: matched keys replaced (including multi-row
+        groups), unmatched kept, new keys inserted — into a new snapshot."""
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+
+        io = TableIO(spark, str(tmp_path / "whu"))
+        base = spark.createDataFrame(
+            [("c1", 0, "old-a"), ("c1", 1, "old-b"), ("c2", 0, "keep")],
+            ["conv_id", "turn_idx", "val"],
+        )
+        # first merge into an empty table == plain write
+        io.merge("t", base, key_cols=["conv_id"])
+        assert io.read("t").count() == 3
+        updates = spark.createDataFrame(
+            [("c1", 0, "new-a"), ("c3", 0, "ins")], ["conv_id", "turn_idx", "val"]
+        )
+        io.merge("t", updates, key_cols=["conv_id"])
+        got = {(r.conv_id, r.turn_idx): r.val for r in io.read("t").collect()}
+        # c1 replaced WHOLESALE (old-b gone: delete-key-then-insert),
+        # c2 kept, c3 inserted
+        assert got == {("c1", 0): "new-a", ("c2", 0): "keep", ("c3", 0): "ins"}
+        assert io.current_version("t") == 1  # merge = one new snapshot
+
     def test_compaction_rewrite_while_reading(self, spark, tmp_path):
         """The in-place-rewrite hazard compaction used to dodge with a temp
         swap: under snapshot isolation, reading and rewriting the same table
