@@ -216,6 +216,101 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_edge_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence-weighted predicate induction: conversation-level
+    co-occurrence LIFT per entity pair — observed joint conversation count
+    vs the independence expectation. Computed entirely in integer
+    arithmetic (parts-per-million, staged division to bound magnitudes:
+    ``((c_ab*1e6) DIV c_a) * n DIV c_b`` never exceeds 1e6·n) so the value
+    hash is exact across engines and parallelism. The pair self-join is
+    conv-level (distinct entity set per conversation — dozens of rows per
+    group, far smaller fan-out than the turn-level triple join it
+    annotates)."""
+    _, _, linked = _linked(spark, sf_dir)
+    conv_ents = linked.select("conv_id", "canonical_id").distinct()
+    n = conv_ents.select("conv_id").distinct().count()  # bounded scalar
+    counts = conv_ents.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a, b = conv_ents.alias("a"), conv_ents.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.canonical_id") < F.col("b.canonical_id")),
+        )
+        .groupBy(
+            F.col("a.canonical_id").alias("subj"),
+            F.col("b.canonical_id").alias("obj"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_convs_both"))
+    )
+    return (
+        pairs.join(counts.withColumnRenamed("canonical_id", "subj"), "subj")
+        .withColumnRenamed("c", "c_subj")
+        .join(counts.withColumnRenamed("canonical_id", "obj"), "obj")
+        .withColumnRenamed("c", "c_obj")
+        .select(
+            "subj",
+            "obj",
+            "n_convs_both",
+            F.expr(
+                f"((n_convs_both * 1000000L) DIV c_subj) * {n}L DIV c_obj"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "subj", "obj")
+    )
+
+
+def tr_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive KG-embedding trainset: every distinct (subj, pred, obj)
+    triple paired with a deterministic corrupt-tail negative. The candidate
+    is the portable md5 hash of the triple mod |entities| (the same hash
+    contract every sampling path uses — functions/hashing.py); a collision
+    with the true object steps to the next index mod n, so the negative is
+    always a real, different entity. The entity dictionary gets a dense
+    row_number index — a single-task sort, acceptable because the
+    dictionary is orders of magnitude smaller than the triple table (10^7
+    entities vs 10^12 turns); the index join back is dictionary-sized."""
+    from pyspark.sql import Window
+
+    t = _triples(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    _, _, linked = _linked(spark, sf_dir)
+    ents = linked.select("canonical_id").distinct()
+    n = ents.count()  # bounded scalar (dictionary size)
+    if n == 0:
+        return t.withColumn("neg_obj", F.lit(None).cast("string"))
+    idx = ents.withColumn(
+        "idx", F.row_number().over(Window.orderBy("canonical_id")) - 1
+    )
+    cand = t.withColumn(
+        "cand_idx",
+        F.expr(
+            "CAST(conv(substr(md5(concat_ws('|', subj, pred, obj)), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        )
+        % n,
+    )
+    with_obj = cand.join(
+        idx.select(F.col("canonical_id").alias("obj"), F.col("idx").alias("obj_idx")),
+        "obj",
+    ).withColumn(
+        "neg_idx",
+        F.when(F.col("cand_idx") == F.col("obj_idx"), (F.col("cand_idx") + 1) % n)
+        .otherwise(F.col("cand_idx")),
+    )
+    return (
+        with_obj.join(
+            idx.select(
+                F.col("idx").alias("neg_idx"), F.col("canonical_id").alias("neg_obj")
+            ),
+            "neg_idx",
+        )
+        .select("subj", "pred", "obj", "neg_obj")
+        .orderBy("subj", "pred", "obj")
+    )
+
+
 def kg_entity_lifespans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal KG surface: per canonical entity, first/last observation
     time (epoch seconds — integral, so the value hash is stable), active
@@ -574,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_role_triples": kg_role_triples,
         "kg_two_hop": kg_two_hop,
         "kg_pagerank": kg_pagerank,
+        "kg_edge_lift": kg_edge_lift,
         "kg_entity_lifespans": kg_entity_lifespans,
         "kg_type_freqs": kg_type_freqs,
         "kg_embedding_components": kg_embedding_components,
@@ -588,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_max_seq_len": tr_max_seq_len,
         "tr_ner_trainset": tr_ner_trainset,
         "tr_siamese_tensors": tr_siamese_tensors,
+        "tr_kg_negatives": tr_kg_negatives,
         # multimodal plumbing (binary payloads + decode-stub feature UDFs)
         "mm_media_features": mm_media_features,
         "mm_frame_sample": mm_frame_sample,

@@ -28,6 +28,7 @@ from runne_contrastive_ner_spark.session import build_session
 HEADLINE = [
     "kg_mentions",
     "kg_triples",
+    "kg_pagerank",
     "rel_pricing_summary",
     "rel_region_order_rollup",
     "rel_sessionization",

@@ -1202,6 +1202,84 @@ pr3 AS (SELECT d.src,
         FROM deg d CROSS JOIN nn LEFT JOIN s3 i ON i.src = d.src)
 SELECT src AS canonical_id, pr_q FROM pr3 ORDER BY pr_q DESC, canonical_id
     """,
+    # corrupt-tail negative sampling replay: portable md5 index mod n with
+    # step-on-collision — mirrored hash contract (hashing.py)
+    "tr_kg_negatives": f"""
+WITH RECURSIVE placeholder AS (SELECT 1),
+{kg_common_ctes()[5:]},
+turn_ents AS (
+  SELECT DISTINCT m.conv_id, m.turn_idx, e.canonical_id
+  FROM mentions m JOIN entities e ON e.surface_norm = m.surface_norm
+),
+same_turn AS (
+  SELECT a.conv_id, a.canonical_id AS subj, 'co_occurs_with' AS pred,
+         b.canonical_id AS obj, a.turn_idx AS src_turn_idx
+  FROM turn_ents a JOIN turn_ents b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND a.canonical_id < b.canonical_id
+),
+follows AS (
+  SELECT DISTINCT a.conv_id, a.canonical_id AS subj, 'follows' AS pred,
+         b.canonical_id AS obj, a.turn_idx AS src_turn_idx
+  FROM turn_ents a JOIN turn_ents b
+    ON a.conv_id = b.conv_id
+   AND b.turn_idx BETWEEN a.turn_idx - 2 AND a.turn_idx - 1
+),
+trip AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT subj, pred, obj FROM same_turn
+    UNION ALL SELECT subj, pred, obj FROM follows
+  )
+),
+ent_set AS (SELECT DISTINCT canonical_id FROM turn_ents),
+nn AS (SELECT count(*)::BIGINT AS n FROM ent_set),
+ents_idx AS (
+  SELECT canonical_id, row_number() OVER (ORDER BY canonical_id) - 1 AS idx
+  FROM ent_set
+),
+cand AS (
+  SELECT t.subj, t.pred, t.obj,
+         ('0x' || substr(md5(t.subj || '|' || t.pred || '|' || t.obj), 1, 15))::BIGINT
+           % nn.n AS cand_idx, nn.n
+  FROM trip t CROSS JOIN nn
+),
+neg AS (
+  SELECT c.subj, c.pred, c.obj,
+         CASE WHEN c.cand_idx = oi.idx THEN (c.cand_idx + 1) % c.n
+              ELSE c.cand_idx END AS neg_idx
+  FROM cand c JOIN ents_idx oi ON oi.canonical_id = c.obj
+)
+SELECT g.subj, g.pred, g.obj, e.canonical_id AS neg_obj
+FROM neg g JOIN ents_idx e ON e.idx = g.neg_idx
+ORDER BY subj, pred, obj
+    """,
+    # staged integer division mirrored from the engine: ((c_ab*1e6) DIV
+    # c_a) * n DIV c_b — exact-match contract, bounded magnitude
+    "kg_edge_lift": f"""
+WITH RECURSIVE placeholder AS (SELECT 1),
+{kg_common_ctes()[5:]},
+conv_ents AS (
+  SELECT DISTINCT m.conv_id, e.canonical_id
+  FROM mentions m JOIN entities e ON e.surface_norm = m.surface_norm
+),
+nn AS (SELECT count(DISTINCT conv_id)::BIGINT AS n FROM conv_ents),
+counts AS (SELECT canonical_id, count(*)::BIGINT AS c
+           FROM conv_ents GROUP BY canonical_id),
+pairs AS (
+  SELECT a.canonical_id AS subj, b.canonical_id AS obj,
+         count(*)::BIGINT AS n_convs_both
+  FROM conv_ents a JOIN conv_ents b
+    ON a.conv_id = b.conv_id AND a.canonical_id < b.canonical_id
+  GROUP BY a.canonical_id, b.canonical_id
+)
+SELECT p.subj, p.obj, p.n_convs_both,
+       (((p.n_convs_both * 1000000) // cs.c) * nn.n // co.c)::BIGINT AS lift_ppm
+FROM pairs p
+JOIN counts cs ON cs.canonical_id = p.subj
+JOIN counts co ON co.canonical_id = p.obj
+CROSS JOIN nn
+ORDER BY lift_ppm DESC, subj, obj
+    """,
     "kg_entity_lifespans": f"""
 WITH RECURSIVE placeholder AS (SELECT 1),
 {kg_common_ctes()[5:]},
