@@ -29,6 +29,13 @@ def main() -> None:
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--replicate", type=int, default=1)
     ap.add_argument("--window-k", type=int, default=2)
+    ap.add_argument(
+        "--compact",
+        action="store_true",
+        help="after the run, rewrite the bucketed stage tables to one file "
+        "per partition value (Iceberg rewrite_data_files equivalent); "
+        "resume fingerprints are preserved",
+    )
     args = ap.parse_args()
 
     # spark-submit owns master/executor settings; only job-level SQL conf here
@@ -57,7 +64,17 @@ def main() -> None:
     result = run_pipeline(
         spark, transcripts, cfg, input_fp=f"{args.sf_dir}|x{args.replicate}"
     )
-    print(json.dumps({"stages": result.metrics}))
+    out = {"stages": result.metrics}
+    if args.compact:
+        from runne_contrastive_ner_spark.plans.manifest import compact_stage
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+
+        io = TableIO(spark, cfg.warehouse)
+        out["compacted"] = {
+            stage: compact_stage(io, stage, partition_col="conv_bucket").files
+            for stage in ("mentions", "triples")
+        }
+    print(json.dumps(out))
     spark.stop()
 
 
