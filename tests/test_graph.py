@@ -66,3 +66,39 @@ class TestPageRank:
     def test_empty_graph(self, spark):
         df = spark.createDataFrame([], "src string, dst string")
         assert pagerank(df).count() == 0
+
+    def test_scale_matches_replay(self, spark):
+        """~50k-node star clusters + a chain (hub skew + low-degree tail in
+        one graph): the distributed run must equal the exact driver replay,
+        and hubs must outrank every member."""
+        from pyspark.sql import functions as F
+
+        n_stars, star_size, chain_len = 700, 70, 500
+        stars = spark.range(n_stars * star_size).select(
+            F.concat(
+                F.lit("h"),
+                F.lpad((F.col("id") / star_size).cast("int").cast("string"), 6, "0"),
+            ).alias("src"),
+            F.concat(F.lit("m"), F.lpad(F.col("id").cast("string"), 8, "0")).alias(
+                "dst"
+            ),
+        )
+        chain = spark.range(chain_len).select(
+            F.concat(F.lit("c"), F.lpad(F.col("id").cast("string"), 6, "0")).alias(
+                "src"
+            ),
+            F.concat(
+                F.lit("c"), F.lpad((F.col("id") + 1).cast("string"), 6, "0")
+            ).alias("dst"),
+        )
+        one_way = stars.unionByName(chain)
+        both = one_way.unionByName(
+            one_way.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        got = {r.src: r.pr_q for r in pagerank(both, iterations=3).collect()}
+        edges = [(r.src, r.dst) for r in one_way.collect()]
+        expected = _pagerank_local(edges, iterations=3)
+        assert got == expected
+        hubs = [v for k, v in got.items() if k.startswith("h")]
+        members = [v for k, v in got.items() if k.startswith("m")]
+        assert min(hubs) > max(members)
