@@ -30,6 +30,11 @@ def main() -> None:
     ap.add_argument("--replicate", type=int, default=1)
     ap.add_argument("--window-k", type=int, default=2)
     ap.add_argument(
+        "--analytics",
+        action="store_true",
+        help="materialize the PageRank-centrality analytics stage",
+    )
+    ap.add_argument(
         "--compact",
         action="store_true",
         help="after the run, rewrite the bucketed stage tables to one file "
@@ -60,7 +65,9 @@ def main() -> None:
             .drop("rep")
         )
 
-    cfg = PipelineConfig(warehouse=args.warehouse, window_k=args.window_k)
+    cfg = PipelineConfig(
+        warehouse=args.warehouse, window_k=args.window_k, analytics=args.analytics
+    )
     result = run_pipeline(
         spark, transcripts, cfg, input_fp=f"{args.sf_dir}|x{args.replicate}"
     )

@@ -39,6 +39,10 @@ class PipelineConfig:
     # 1000-executor writer produces bounded file counts per bucket (the
     # Iceberg deployment maps this to bucket(conv_id, N) partition transform)
     lineage_buckets: int = 16
+    # optional 5th stage: materialize per-entity graph analytics (PageRank
+    # centrality) over the triple table, with its own manifest/resume
+    analytics: bool = False
+    pagerank_iterations: int = 3
 
 
 @dataclass
@@ -48,6 +52,7 @@ class PipelineResult:
     edges: DataFrame
     triples: DataFrame
     metrics: dict
+    analytics: DataFrame | None = None
 
 
 def run_pipeline(
@@ -127,5 +132,32 @@ def run_pipeline(
         lineage_key="conv_id",
     )
 
+    analytics = None
+    if cfg.analytics:
+        from ..operators.graph import pagerank
+
+        def build_analytics():
+            pairs = triples.filter(F.col("pred") == "co_occurs_with").select(
+                "subj", "obj"
+            ).distinct()
+            nbrs = (
+                pairs.unionByName(
+                    pairs.select(
+                        F.col("obj").alias("subj"), F.col("subj").alias("obj")
+                    )
+                )
+                .distinct()
+                .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            )
+            out = pagerank(nbrs, iterations=cfg.pagerank_iterations)
+            return out.withColumnRenamed("src", "entity_id")
+
+        analytics = runner.run(
+            "analytics",
+            fingerprint("analytics", link_fp, cfg.window_k, cfg.pagerank_iterations),
+            build_analytics,
+            lineage_key="entity_id",
+        )
+
     metrics = {s: vars(m) for s, m in runner.metrics.items()}
-    return PipelineResult(mentions, entities, edges, triples, metrics)
+    return PipelineResult(mentions, entities, edges, triples, metrics, analytics)

@@ -81,6 +81,15 @@ class TableIO:
             else:
                 writer.append()
             return
+        if mode != "overwrite":
+            # the snapshot fallback is overwrite-only by design: an append
+            # would have to rewrite the previous snapshot's files into the
+            # new one anyway — use merge() for upserts instead of silently
+            # degrading append to overwrite
+            raise ValueError(
+                f"snapshot fallback supports mode='overwrite' only (got {mode!r}); "
+                "use merge() for upserts"
+            )
         import shutil
 
         root = self.path(table)

@@ -237,6 +237,34 @@ class TestPipeline:
         assert res2.metrics["mentions"]["wall_sec"] == res.metrics["mentions"]["wall_sec"]
         assert res2.triples.count() == res.triples.count()
 
+    def test_analytics_stage(self, spark, transcripts, tmp_path):
+        """Optional 5th stage: PageRank centrality materialized over the
+        normalized triple table, with its own manifest (resume skips it;
+        the stage appears only when enabled)."""
+        cfg = PipelineConfig(warehouse=str(tmp_path / "wha"), analytics=True)
+        res = run_pipeline(spark, transcripts, cfg, input_fp="a")
+        assert res.analytics is not None
+        n_nodes = res.analytics.count()
+        # one row per entity participating in a co-occurrence
+        from pyspark.sql import functions as F2
+
+        co = res.triples.filter(F2.col("pred") == "co_occurs_with")
+        ents = (
+            co.select(F2.col("subj").alias("e"))
+            .unionByName(co.select(F2.col("obj").alias("e")))
+            .distinct()
+            .count()
+        )
+        assert n_nodes == ents > 0
+        assert "analytics" in res.metrics
+        res2 = run_pipeline(spark, transcripts, cfg, input_fp="a")
+        assert (
+            res2.metrics["analytics"]["wall_sec"] == res.metrics["analytics"]["wall_sec"]
+        )
+        # default config: no analytics stage, result field is None
+        cfg_off = PipelineConfig(warehouse=str(tmp_path / "wha_off"))
+        assert run_pipeline(spark, transcripts, cfg_off, input_fp="a").analytics is None
+
     def test_empty_input_all_stages_zero(self, spark, transcripts, tmp_path):
         """limit(0) input: every stage runs, all counts 0, no crash — in
         particular the partitioned empty write must stay schema-readable."""
