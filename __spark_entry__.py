@@ -199,18 +199,12 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-iteration PageRank with quantized-integer mass
     (operators/graph.py) — bit-deterministic under any parallelism, so the
     DuckDB oracle unrolls the IDENTICAL integer iterations in SQL."""
-    from runne_contrastive_ner_spark.operators.graph import pagerank
-
-    t = _triples(spark, sf_dir).filter(F.col("pred") == "co_occurs_with")
-    pairs = t.select("subj", "obj").distinct()
-    nbrs = (
-        pairs.unionByName(
-            pairs.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
-        )
-        .distinct()
-        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    from runne_contrastive_ner_spark.operators.graph import (
+        cooccurrence_edges,
+        pagerank,
     )
-    out = pagerank(nbrs, iterations=3)
+
+    out = pagerank(cooccurrence_edges(_triples(spark, sf_dir)), iterations=3)
     return out.select(F.col("src").alias("canonical_id"), "pr_q").orderBy(
         F.desc("pr_q"), "canonical_id"
     )
@@ -227,7 +221,15 @@ def kg_edge_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     group, far smaller fan-out than the turn-level triple join it
     annotates)."""
     _, _, linked = _linked(spark, sf_dir)
-    conv_ents = linked.select("conv_id", "canonical_id").distinct()
+    # conv_ents is referenced 4x (n count, marginals, both self-join sides)
+    # — persist it through the linked-lineage registry so the distinct
+    # shuffle over linked runs once (same memo discipline as _triples)
+    entry_ = _LINKED_CACHE[(id(spark), sf_dir)]
+    if "conv_ents" not in entry_:
+        ce = linked.select("conv_id", "canonical_id").distinct().persist()
+        entry_["registry"].append(ce)
+        entry_["conv_ents"] = ce
+    conv_ents = entry_["conv_ents"]
     n = conv_ents.select("conv_id").distinct().count()  # bounded scalar
     counts = conv_ents.groupBy("canonical_id").agg(
         F.count(F.lit(1)).cast("long").alias("c")
@@ -283,13 +285,11 @@ def tr_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ents.withColumn(
         "idx", F.row_number().over(Window.orderBy("canonical_id")) - 1
     )
+    from runne_contrastive_ner_spark.functions.hashing import spark_md5_int_sql
+
     cand = t.withColumn(
         "cand_idx",
-        F.expr(
-            "CAST(conv(substr(md5(concat_ws('|', subj, pred, obj)), 1, 15),"
-            " 16, 10) AS BIGINT)"
-        )
-        % n,
+        F.expr(spark_md5_int_sql("concat_ws('|', subj, pred, obj)")) % n,
     )
     with_obj = cand.join(
         idx.select(F.col("canonical_id").alias("obj"), F.col("idx").alias("obj_idx")),
@@ -306,6 +306,10 @@ def tr_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "neg_idx",
         )
+        # n=1 degenerate case: the step-on-collision wraps back to the true
+        # object — drop such rows (no valid negative exists) instead of
+        # emitting positive==negative pairs; a no-op whenever n >= 2
+        .filter(F.col("neg_obj") != F.col("obj"))
         .select("subj", "pred", "obj", "neg_obj")
         .orderBy("subj", "pred", "obj")
     )

@@ -32,6 +32,27 @@ from pyspark.sql import functions as F
 SCALE = 10**12
 
 
+def cooccurrence_edges(triples: DataFrame) -> DataFrame:
+    """Symmetrized undirected edge list ``(src, dst)`` from a triple table:
+    distinct ``co_occurs_with`` pairs, both directions. The single source
+    of the graph shape shared by the PageRank query, the pipeline's
+    analytics stage, and any future graph consumer — one place to change
+    weighting/filtering without desynchronizing the materialized stage
+    from the oracle-checked query."""
+    pairs = (
+        triples.filter(F.col("pred") == "co_occurs_with")
+        .select("subj", "obj")
+        .distinct()
+    )
+    return (
+        pairs.unionByName(
+            pairs.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+        )
+        .distinct()
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+
+
 def pagerank(
     nbrs: DataFrame,
     iterations: int = 3,

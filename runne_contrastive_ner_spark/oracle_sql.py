@@ -13,6 +13,7 @@ tokenize→score→decode→CC pipeline.
 
 from __future__ import annotations
 
+from .functions.hashing import duckdb_md5_int_sql
 from .functions.vocab import (
     ENTITY_TYPES,
     EVAL_GOLD_GAZETTEER,
@@ -1239,7 +1240,7 @@ ents_idx AS (
 ),
 cand AS (
   SELECT t.subj, t.pred, t.obj,
-         ('0x' || substr(md5(t.subj || '|' || t.pred || '|' || t.obj), 1, 15))::BIGINT
+         {duckdb_md5_int_sql("t.subj || '|' || t.pred || '|' || t.obj")}
            % nn.n AS cand_idx, nn.n
   FROM trip t CROSS JOIN nn
 ),
@@ -1251,6 +1252,7 @@ neg AS (
 )
 SELECT g.subj, g.pred, g.obj, e.canonical_id AS neg_obj
 FROM neg g JOIN ents_idx e ON e.idx = g.neg_idx
+WHERE e.canonical_id <> g.obj  -- n=1 degenerate case: no valid negative
 ORDER BY subj, pred, obj
     """,
     # staged integer division mirrored from the engine: ((c_ab*1e6) DIV

@@ -143,6 +143,11 @@ def compact_stage(
     mf = load_manifest(io.path(stage))
     if mf is None:
         raise ValueError(f"stage {stage!r} has no manifest to compact")
+    if mf.extra.get("compacted"):
+        # idempotent: an already-compacted stage (and a resume-skipped one —
+        # recomputation rewrites the manifest and clears the flag) is a
+        # no-op, not a second full-table rewrite
+        return mf
     df = io.read(stage)
     if partition_col is not None:
         n = shuffle_parts or df.sparkSession.sparkContext.defaultParallelism
@@ -151,7 +156,16 @@ def compact_stage(
     else:
         df = df.coalesce(1 if shuffle_parts is None else shuffle_parts)
         io.write(df, stage)
+    # the predecessor snapshot holds the same rows in worse files — expire
+    # it so compaction actually reclaims the disk it promises to
+    expire = getattr(io, "expire_snapshots", None)
+    if expire is not None:
+        expire(stage, keep=1)
     mf.files = io.file_stats(stage)
-    mf.extra = {**mf.extra, "compacted": True}
+    mf.extra = {
+        **mf.extra,
+        "compacted": True,
+        "snapshot": getattr(io, "current_version", lambda _t: None)(stage),
+    }
     write_manifest(io.path(stage), mf)
     return mf

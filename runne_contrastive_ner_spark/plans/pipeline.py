@@ -134,22 +134,12 @@ def run_pipeline(
 
     analytics = None
     if cfg.analytics:
-        from ..operators.graph import pagerank
+        from ..operators.graph import cooccurrence_edges, pagerank
 
         def build_analytics():
-            pairs = triples.filter(F.col("pred") == "co_occurs_with").select(
-                "subj", "obj"
-            ).distinct()
-            nbrs = (
-                pairs.unionByName(
-                    pairs.select(
-                        F.col("obj").alias("subj"), F.col("subj").alias("obj")
-                    )
-                )
-                .distinct()
-                .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            out = pagerank(
+                cooccurrence_edges(triples), iterations=cfg.pagerank_iterations
             )
-            out = pagerank(nbrs, iterations=cfg.pagerank_iterations)
             return out.withColumnRenamed("src", "entity_id")
 
         analytics = runner.run(

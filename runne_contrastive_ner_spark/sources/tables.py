@@ -63,9 +63,53 @@ class TableIO:
     def current_version(self, table: str) -> int | None:
         p = self._pointer_path(table)
         if not os.path.exists(p):
-            return None
+            self._migrate_legacy_layout(table)
+            if not os.path.exists(p):
+                return None
         with open(p) as f:
             return int(f.read().strip())
+
+    def _migrate_legacy_layout(self, table: str) -> None:
+        """A warehouse written before snapshot versioning has its parquet
+        data directly in the table root. Adopt it in place as snapshot v0
+        (move data entries into v000000, leave the manifest at the root)
+        so resume keeps working and no orphan files linger."""
+        root = self.path(table)
+        if not os.path.isdir(root):
+            return
+        entries = [
+            e
+            for e in os.listdir(root)
+            if not e.startswith("_manifest") and not e.startswith("v")
+        ]
+        has_data = any(
+            e.endswith(".parquet") or e == "_SUCCESS" or "=" in e for e in entries
+        )
+        if not has_data:
+            return
+        target = os.path.join(root, "v000000")
+        os.makedirs(target, exist_ok=True)
+        for e in entries:
+            os.rename(os.path.join(root, e), os.path.join(target, e))
+        tmp = self._pointer_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("0")
+        os.replace(tmp, self._pointer_path(table))
+
+    def expire_snapshots(self, table: str, keep: int = 1) -> None:
+        """Drop retained predecessor snapshots beyond ``keep`` (Iceberg's
+        ``expire_snapshots``). ``keep=1`` keeps only the current snapshot —
+        used after compaction, where the predecessor holds the same rows in
+        worse files and retaining it would double the stage's disk."""
+        import shutil
+
+        cur = self.current_version(table)
+        if cur is None:
+            return
+        root = self.path(table)
+        for name in os.listdir(root):
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) <= cur - keep:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
     def data_path(self, table: str, version: int | None = None) -> str:
         v = self.current_version(table) if version is None else version
@@ -157,8 +201,13 @@ class TableIO:
         ``VERSION AS OF`` with a 2-snapshot retention policy)."""
         if self.use_iceberg:  # pragma: no cover
             if version is not None:
-                return self.spark.read.option("snapshot-id", version).table(
-                    f"local.db.{table}"
+                # fallback versions are sequential ints; Iceberg snapshot
+                # ids are random 64-bit values — the two are NOT
+                # interchangeable, so refuse rather than mis-resolve
+                raise ValueError(
+                    "time travel on the Iceberg backend uses native snapshot "
+                    "ids (spark.read.option('snapshot-id', ...)), not the "
+                    "fallback's sequential versions"
                 )
             return self.spark.read.table(f"local.db.{table}")
         p = self.data_path(table, version)

@@ -405,6 +405,49 @@ class TestSnapshotIsolation:
         with pytest.raises(FileNotFoundError):  # v0 expired (retention 2)
             io.read("t", version=0)
 
+    def test_legacy_flat_layout_migrates_in_place(self, spark, tmp_path):
+        """A warehouse written before snapshot versioning (parquet directly
+        in the table root) is adopted as snapshot v0 on first touch — resume
+        keeps working, no orphan files."""
+        import os
+
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+
+        root = tmp_path / "whl" / "t"
+        spark.range(7).write.parquet(str(root))  # legacy layout
+        io = TableIO(spark, str(tmp_path / "whl"))
+        assert io.exists("t")
+        assert io.current_version("t") == 0
+        assert io.read("t").count() == 7
+        # data moved under v000000; no parquet left at the root
+        assert not any(f.endswith(".parquet") for f in os.listdir(str(root)))
+        io.write(spark.range(2), "t")  # overwrite continues the history
+        assert io.current_version("t") == 1
+        assert io.read("t").count() == 2
+
+    def test_compaction_reclaims_and_is_idempotent(self, spark, transcripts, tmp_path):
+        """Compaction expires the small-file predecessor snapshot (disk is
+        actually reclaimed) and a second compact call is a no-op."""
+        import os
+
+        from runne_contrastive_ner_spark.plans.manifest import compact_stage
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+
+        cfg = PipelineConfig(warehouse=str(tmp_path / "whci"), lineage_buckets=4)
+        run_pipeline(spark, transcripts, cfg, input_fp="ci")
+        io = TableIO(spark, cfg.warehouse)
+        compact_stage(io, "mentions", partition_col="conv_bucket")
+        snaps = [
+            d
+            for d in os.listdir(io.path("mentions"))
+            if d.startswith("v") and d[1:].isdigit()
+        ]
+        assert snaps == ["v000001"]  # predecessor expired, only compacted left
+        v_before = io.current_version("mentions")
+        mf2 = compact_stage(io, "mentions", partition_col="conv_bucket")
+        assert io.current_version("mentions") == v_before  # no rewrite
+        assert mf2.extra["snapshot"] == v_before  # lineage points at current
+
     def test_merge_upsert(self, spark, tmp_path):
         """MERGE INTO semantics: matched keys replaced (including multi-row
         groups), unmatched kept, new keys inserted — into a new snapshot."""
