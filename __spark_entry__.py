@@ -148,11 +148,11 @@ def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-hop neighbor counts over the undirected co-occurrence graph (the
     "who is two conversations steps away" query) — two self-joins on the
     symmetrized neighbor table, both equi-joins on entity id."""
-    spark_df = _triples(spark, sf_dir).filter(F.col("pred") == "co_occurs_with")
-    pairs = spark_df.select("subj", "obj").distinct()
-    nbrs = pairs.unionByName(
-        pairs.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
-    ).distinct()
+    from runne_contrastive_ner_spark.operators.graph import cooccurrence_edges
+
+    nbrs = cooccurrence_edges(_triples(spark, sf_dir)).select(
+        F.col("src").alias("subj"), F.col("dst").alias("obj")
+    )
     one_hop = nbrs.groupBy("subj").agg(
         F.countDistinct("obj").cast("bigint").alias("n_one_hop")
     )
@@ -261,6 +261,29 @@ def kg_edge_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_ppm"),
         )
         .orderBy(F.desc("lift_ppm"), "subj", "obj")
+    )
+
+
+def kg_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution health check for the materialized graph: entity
+    counts per power-of-two degree bucket — the first diagnostic an
+    operator reads to spot hub skew before it bites the two-hop/lift
+    joins. The bucket is computed as length(bin(degree))-1, an
+    integer-exact floor(log2) identical on both engines (float LOG2 can
+    disagree in the last bit at exact powers of two)."""
+    from runne_contrastive_ner_spark.operators.graph import cooccurrence_edges
+
+    nbrs = cooccurrence_edges(_triples(spark, sf_dir))
+    deg = nbrs.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.withColumn("bucket", F.expr("CAST(length(bin(degree)) - 1 AS BIGINT)"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_entities"),
+            F.min("degree").cast("long").alias("min_degree"),
+            F.max("degree").cast("long").alias("max_degree"),
+        )
+        .orderBy("bucket")
     )
 
 
@@ -674,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_two_hop": kg_two_hop,
         "kg_pagerank": kg_pagerank,
         "kg_edge_lift": kg_edge_lift,
+        "kg_degree_histogram": kg_degree_histogram,
         "kg_entity_lifespans": kg_entity_lifespans,
         "kg_type_freqs": kg_type_freqs,
         "kg_embedding_components": kg_embedding_components,

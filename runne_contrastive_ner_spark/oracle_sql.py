@@ -1203,6 +1203,28 @@ pr3 AS (SELECT d.src,
         FROM deg d CROSS JOIN nn LEFT JOIN s3 i ON i.src = d.src)
 SELECT src AS canonical_id, pr_q FROM pr3 ORDER BY pr_q DESC, canonical_id
     """,
+    # integer-exact floor(log2) via length(bin(x))-1 on both engines
+    "kg_degree_histogram": f"""
+WITH RECURSIVE placeholder AS (SELECT 1),
+{kg_common_ctes()[5:]},
+turn_ents AS (
+  SELECT DISTINCT m.conv_id, m.turn_idx, e.canonical_id
+  FROM mentions m JOIN entities e ON e.surface_norm = m.surface_norm
+),
+co AS (
+  SELECT DISTINCT a.canonical_id AS src, b.canonical_id AS dst
+  FROM turn_ents a JOIN turn_ents b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND a.canonical_id < b.canonical_id
+),
+nbrs AS (SELECT src, dst FROM co UNION SELECT dst, src FROM co),
+deg AS (SELECT src, count(*)::BIGINT AS degree FROM nbrs GROUP BY src)
+SELECT (length(bin(degree)) - 1)::BIGINT AS bucket,
+       count(*)::BIGINT AS n_entities,
+       min(degree)::BIGINT AS min_degree,
+       max(degree)::BIGINT AS max_degree
+FROM deg GROUP BY bucket ORDER BY bucket
+    """,
     # corrupt-tail negative sampling replay: portable md5 index mod n with
     # step-on-collision — mirrored hash contract (hashing.py)
     "tr_kg_negatives": f"""
