@@ -471,6 +471,32 @@ class TestSnapshotIsolation:
         assert got == {("c1", 0): "new-a", ("c2", 0): "keep", ("c3", 0): "ins"}
         assert io.current_version("t") == 1  # merge = one new snapshot
 
+    def test_merge_property_random_sequences(self, spark, tmp_path):
+        """Property: any sequence of merges equals the dict-of-key-groups
+        model (replace matched group, keep others, insert new) — seeded
+        derandomized cases instead of hypothesis (a Spark session per
+        example is too slow for shrinking)."""
+        import random
+
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+
+        rng = random.Random(7)
+        io = TableIO(spark, str(tmp_path / "whpm"))
+        model: dict[str, list[tuple[str, int, str]]] = {}
+        for step in range(4):
+            keys = [f"k{rng.randrange(6)}" for _ in range(rng.randrange(1, 4))]
+            rows = [
+                (k, i, f"s{step}v{rng.randrange(100)}")
+                for k in set(keys)
+                for i in range(rng.randrange(1, 3))
+            ]
+            io.merge("t", spark.createDataFrame(rows, ["k", "i", "val"]), ["k"])
+            for k in {r[0] for r in rows}:
+                model[k] = [r for r in rows if r[0] == k]
+            got = sorted(tuple(r) for r in io.read("t").collect())
+            want = sorted(r for rs in model.values() for r in rs)
+            assert got == want, f"diverged at step {step}"
+
     def test_compaction_rewrite_while_reading(self, spark, tmp_path):
         """The in-place-rewrite hazard compaction used to dodge with a temp
         swap: under snapshot isolation, reading and rewriting the same table
