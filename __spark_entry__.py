@@ -264,6 +264,51 @@ def kg_edge_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_verb_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-lite predicate induction (SURVEY §7.1 item 5): for each
+    same-turn ordered mention pair, the first alphabetic token of the text
+    BETWEEN the two mentions becomes the predicate — the lexical-bridge
+    pattern a dependency parse would approximate (no parser in-sandbox).
+    Bridges longer than 40 chars or with no alphabetic token induce
+    nothing (those pairs remain plain co_occurs_with in kg_triples). The
+    pair join is per-turn (same bounded shape as kg_triples' same_turn)."""
+    _, _, linked = _linked(spark, sf_dir)
+    t = from_documents(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    m = linked.select("conv_id", "turn_idx", "canonical_id", "start", "end")
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.turn_idx") == F.col("b.turn_idx"))
+            & (F.col("a.end") <= F.col("b.start"))
+            & (F.col("a.canonical_id") != F.col("b.canonical_id")),
+        )
+        .select(
+            F.col("a.conv_id").alias("conv_id"),
+            F.col("a.turn_idx").alias("turn_idx"),
+            F.col("a.canonical_id").alias("subj"),
+            F.col("b.canonical_id").alias("obj"),
+            F.col("a.end").alias("gap_start"),
+            F.col("b.start").alias("gap_end"),
+        )
+        .filter(F.col("gap_end") - F.col("gap_start") <= 40)
+    )
+    return (
+        pairs.join(t, ["conv_id", "turn_idx"])
+        .withColumn(
+            "bridge", F.expr("substring(text, gap_start + 1, gap_end - gap_start)")
+        )
+        .withColumn("pred", F.lower(F.regexp_extract("bridge", "[A-Za-z]+", 0)))
+        .filter(F.col("pred") != "")
+        .select(
+            "conv_id", "subj", "pred", "obj", F.col("turn_idx").alias("src_turn_idx")
+        )
+        .distinct()
+        .orderBy("conv_id", "src_turn_idx", "subj", "pred", "obj")
+    )
+
+
 def kg_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-distribution health check for the materialized graph: entity
     counts per power-of-two degree bucket — the first diagnostic an
@@ -698,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": kg_pagerank,
         "kg_edge_lift": kg_edge_lift,
         "kg_degree_histogram": kg_degree_histogram,
+        "kg_verb_predicates": kg_verb_predicates,
         "kg_entity_lifespans": kg_entity_lifespans,
         "kg_type_freqs": kg_type_freqs,
         "kg_embedding_components": kg_embedding_components,

@@ -1203,6 +1203,36 @@ pr3 AS (SELECT d.src,
         FROM deg d CROSS JOIN nn LEFT JOIN s3 i ON i.src = d.src)
 SELECT src AS canonical_id, pr_q FROM pr3 ORDER BY pr_q DESC, canonical_id
     """,
+    # lexical-bridge predicate: first [A-Za-z]+ token of the inter-mention
+    # text, bridges capped at 40 chars — mirrored from the engine
+    "kg_verb_predicates": f"""
+WITH RECURSIVE placeholder AS (SELECT 1),
+{kg_common_ctes()[5:]},
+ment AS (
+  SELECT m.conv_id, m.turn_idx, e.canonical_id, m.start, m."end"
+  FROM mentions m JOIN entities e ON e.surface_norm = m.surface_norm
+),
+pairs AS (
+  SELECT a.conv_id, a.turn_idx, a.canonical_id AS subj, b.canonical_id AS obj,
+         a."end" AS gap_start, b.start AS gap_end
+  FROM ment a JOIN ment b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND a."end" <= b.start AND a.canonical_id <> b.canonical_id
+  WHERE b.start - a."end" <= 40
+),
+bridged AS (
+  SELECT p.conv_id, p.subj,
+         lower(regexp_extract(
+           substr(t.text, p.gap_start + 1, p.gap_end - p.gap_start),
+           '[A-Za-z]+')) AS pred,
+         p.obj, p.turn_idx AS src_turn_idx
+  FROM pairs p
+  JOIN transcripts t ON t.conv_id = p.conv_id AND t.turn_idx = p.turn_idx
+)
+SELECT DISTINCT conv_id, subj, pred, obj, src_turn_idx
+FROM bridged WHERE pred <> ''
+ORDER BY conv_id, src_turn_idx, subj, pred, obj
+    """,
     # integer-exact floor(log2) via length(bin(x))-1 on both engines
     "kg_degree_histogram": f"""
 WITH RECURSIVE placeholder AS (SELECT 1),
