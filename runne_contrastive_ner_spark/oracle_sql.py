@@ -668,17 +668,35 @@ GROUP BY dwx.doc_id
 
 TEXTSTATS["ts_wordpiece_segments"] = _wordpiece_oracle()
 
-TEXTSTATS["ts_shard_packing"] = """
+# two-level packing (VERDICT r3): bucket = md5_int(doc_id) % 8, local
+# exclusive running sum within (source, bucket), plus a per-bucket
+# token-total prefix offset in bucket order within the source
+TEXTSTATS["ts_shard_packing"] = f"""
     WITH t AS (SELECT doc_id, source,
                       len(list_filter(string_split(text, ' '), x -> x != ''))
-                        AS n_tokens
-               FROM documents)
-    SELECT doc_id::BIGINT AS doc_id, source, n_tokens::BIGINT AS n_tokens,
-           floor(coalesce(sum(n_tokens) OVER (
-                     PARTITION BY source ORDER BY doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                 / 256)::BIGINT AS shard_idx
-    FROM t
+                        AS n_tokens,
+                      {duckdb_md5_int_sql("doc_id::VARCHAR")} % 8 AS bucket
+               FROM documents),
+    loc AS (
+      SELECT *, coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source, bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS local_before
+      FROM t
+    ),
+    tot AS (SELECT source, bucket, sum(n_tokens) AS bucket_total
+            FROM t GROUP BY source, bucket),
+    offs AS (
+      SELECT source, bucket, coalesce(sum(bucket_total) OVER (
+                 PARTITION BY source ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bucket_offset
+      FROM tot
+    )
+    SELECT l.doc_id::BIGINT AS doc_id, l.source,
+           l.n_tokens::BIGINT AS n_tokens,
+           floor((o.bucket_offset + l.local_before) / 256)::BIGINT AS shard_idx
+    FROM loc l JOIN offs o ON o.source = l.source AND o.bucket = l.bucket
 """
 
 # quality gate AND language gate AND near-dup-survivor gate (full verified
