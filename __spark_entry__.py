@@ -221,13 +221,20 @@ def kg_edge_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     group, far smaller fan-out than the turn-level triple join it
     annotates)."""
     _, _, linked = _linked(spark, sf_dir)
-    # conv_ents is referenced 4x (n count, marginals, both self-join sides)
-    # — persist it through the linked-lineage registry so the distinct
-    # shuffle over linked runs once (same memo discipline as _triples)
+    # conv_ents is referenced 4x (n count, marginals, both self-join sides).
+    # localCheckpoint(eager=True), not persist(): a cached plan still REPLAYS
+    # the full mention lineage per reference in the static plan (186
+    # exchanges in the r3 PLANS.md audit) and recomputes it 4x on cache
+    # eviction; checkpointing truncates the lineage to the materialized
+    # distinct set — the same discipline pagerank and kmeans_centroids use
+    # for their iteration state
     entry_ = _LINKED_CACHE[(id(spark), sf_dir)]
     if "conv_ents" not in entry_:
-        ce = linked.select("conv_id", "canonical_id").distinct().persist()
-        entry_["registry"].append(ce)
+        ce = (
+            linked.select("conv_id", "canonical_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         entry_["conv_ents"] = ce
     conv_ents = entry_["conv_ents"]
     n = conv_ents.select("conv_id").distinct().count()  # bounded scalar
@@ -655,6 +662,41 @@ def kg_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_entities_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-embedding linking in the GATED product path (VERDICT r3
+    item 3): ``canonicalize(use_embedding_edges=True)`` end-to-end —
+    mentions → alias edges ∪ embedding-cosine edges → connected components
+    → canonical entities. This is the reference's defining idea (the
+    contrastive metric space drives entity identity, siamese_nn.py:86-104)
+    inside the oracle-verified pipeline, using the portable bigram-hash
+    surface embedding (linking.bigram_embedding_edges) so DuckDB replays
+    the identical geometry. At the 0.72 threshold the corpus yields a merge
+    the alias list misses ('table' ↔ 'fast table'), asserted in
+    tests/test_linking_embedding.py."""
+    from runne_contrastive_ner_spark.operators.linking import canonicalize
+
+    key = (id(spark), sf_dir, "emb")
+    hit = _LINKED_CACHE.get(key)
+    if hit is not None:
+        return hit["result"]
+    registry: list[DataFrame] = []
+    entities, _, _ = canonicalize(
+        spark,
+        _mentions(spark, sf_dir),
+        use_embedding_edges=True,
+        embedding_method="bigram",
+        persist_registry=registry,
+    )
+    out = entities.select(
+        "canonical_id",
+        "surface_norm",
+        F.col("n_mentions").cast("bigint").alias("n_mentions"),
+        F.concat_ws(",", "types").alias("types"),
+    )
+    _LINKED_CACHE[key] = {"result": out, "registry": registry}
+    return out
+
+
 def kg_conv_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped applyInPandas per conversation (oracle-checked rollup)."""
     from runne_contrastive_ner_spark.operators.predicates import conversation_summaries
@@ -732,10 +774,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- registry ---------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
+    # covers the FIRST 50 registry entries. The ts_* family, the trained
+    # k-means IVF query, and the new embedding-linking query therefore sit
+    # inside the first 50; the long-stable rel_* block (green driver rows in
+    # CORRECTNESS_r01/r02/r03) is rotated to the tail.
     return {
         # KG pipeline (stages 1-5 against the derived transcripts table)
         "kg_mentions": kg_mentions,
         "kg_entities": kg_entities,
+        "kg_entities_embedding": kg_entities_embedding,
         "kg_edges": kg_edges,
         "kg_triples": kg_triples,
         "kg_role_triples": kg_role_triples,
@@ -752,6 +800,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mention_eval_token": kg_mention_eval_token,
         "kg_entity_degrees": kg_entity_degrees,
         "kg_conv_summaries": kg_conv_summaries,
+        # text analysis (never driver-checked in r3 — keep inside the gate)
+        "ts_lang_id": ts.lang_id_heuristic,
+        "ts_quality_scores": ts.quality_scores,
+        "ts_token_stats_by_source": ts.token_stats_by_source,
+        "ts_doc_fingerprints": ts.doc_fingerprints,
+        "ts_bpe_token_counts": ts.bpe_token_counts,
+        "ts_pii_scrub_stats": ts.pii_scrub_stats,
+        "ts_chunk_windows": ts.chunk_windows,
+        "ts_wordpiece_segments": ts.wordpiece_doc_stats,
+        "ts_shard_packing": ts.shard_packing,
+        "ts_corpus_selection": ts.corpus_selection,
+        # similarity search (sim_ann_ivf_kmeans_topk was registry slot 51)
+        "sim_ann_bruteforce_topk": sim.ann_bruteforce_topk,
+        "sim_lsh_buckets": sim.lsh_bucket_assignments,
+        "sim_ann_lsh_topk": sim.ann_lsh_topk,
+        "sim_ann_ivf_topk": sim.ann_ivf_topk,
+        "sim_ann_ivf_kmeans_topk": sim.ann_ivf_kmeans_topk,
         # training-prep family (SURVEY.md §3.2: T8/T9, M11-M13, A3/A4, J3)
         "tr_span_inventory": tr_span_inventory,
         "tr_siamese_pairs": tr_siamese_pairs,
@@ -762,7 +827,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (binary payloads + decode-stub feature UDFs)
         "mm_media_features": mm_media_features,
         "mm_frame_sample": mm_frame_sample,
-        # relational operator family (SURVEY.md §2.3-2.5, §2.8)
+        # dedup family
+        "dd_exact_dup_stats": dd.exact_dup_stats,
+        "dd_ngram_jaccard_pairs": dd.ngram_jaccard_pairs,
+        "dd_minhash_signatures": dd.minhash_signatures,
+        "dd_minhash_lsh_candidates": dd.minhash_lsh_candidates,
+        "dd_simhash_values": dd.simhash_values,
+        "dd_simhash_near_pairs": dd.simhash_near_pairs,
+        "dd_embedding_neardup_pairs": dd.embedding_neardup_pairs,
+        "dd_dedup_clusters": dd.dedup_clusters,
+        # ---- registry position 51+ from here: the rel_* block is the
+        # long-stable family with green driver rows in every prior round
         "rel_event_type_freqs": rel.event_type_freqs,
         "rel_min_freq_gate": rel.min_freq_gate,
         "rel_pricing_summary": rel.pricing_summary,
@@ -775,32 +850,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_within_hour_pairs": rel.events_within_hour_pairs,
         "rel_event_transitions": rel.event_transitions,
         "rel_sessionization": rel.sessionization,
-        # dedup family
-        "dd_exact_dup_stats": dd.exact_dup_stats,
-        "dd_ngram_jaccard_pairs": dd.ngram_jaccard_pairs,
-        "dd_minhash_signatures": dd.minhash_signatures,
-        "dd_minhash_lsh_candidates": dd.minhash_lsh_candidates,
-        "dd_simhash_values": dd.simhash_values,
-        "dd_simhash_near_pairs": dd.simhash_near_pairs,
-        "dd_embedding_neardup_pairs": dd.embedding_neardup_pairs,
-        "dd_dedup_clusters": dd.dedup_clusters,
-        # similarity search
-        "sim_ann_bruteforce_topk": sim.ann_bruteforce_topk,
-        "sim_lsh_buckets": sim.lsh_bucket_assignments,
-        "sim_ann_lsh_topk": sim.ann_lsh_topk,
-        "sim_ann_ivf_topk": sim.ann_ivf_topk,
-        "sim_ann_ivf_kmeans_topk": sim.ann_ivf_kmeans_topk,
-        # text analysis
-        "ts_lang_id": ts.lang_id_heuristic,
-        "ts_quality_scores": ts.quality_scores,
-        "ts_token_stats_by_source": ts.token_stats_by_source,
-        "ts_doc_fingerprints": ts.doc_fingerprints,
-        "ts_bpe_token_counts": ts.bpe_token_counts,
-        "ts_pii_scrub_stats": ts.pii_scrub_stats,
-        "ts_chunk_windows": ts.chunk_windows,
-        "ts_wordpiece_segments": ts.wordpiece_doc_stats,
-        "ts_shard_packing": ts.shard_packing,
-        "ts_corpus_selection": ts.corpus_selection,
     }
 
 

@@ -141,12 +141,109 @@ def embedding_edges(
     )
 
 
+BIGRAM_DIM = 32
+BIGRAM_DF_CAP = 1000
+BIGRAM_THRESHOLD = 0.72
+
+
+def bigram_embedding_edges(
+    nodes: DataFrame,
+    threshold: float = BIGRAM_THRESHOLD,
+    dim: int = BIGRAM_DIM,
+    df_cap: int = BIGRAM_DF_CAP,
+) -> DataFrame:
+    """Contrastive-linking edges from a PORTABLE surface embedding: the
+    hashed character-bigram count vector (dim buckets, '^'/'$' padded), with
+    cosine similarity over exact integer dot products. This is the
+    oracle-verifiable stand-in for the trained contrastive encoder (M9/M10,
+    siamese_nn.py:86-104): same geometry (unit-sphere cosine = monotone in
+    the Siamese Euclidean metric), but every arithmetic step is replayable
+    in DuckDB — bigram buckets come from the shared md5 hash, counts are
+    integers, and the only floating-point op is one division by one sqrt,
+    so the threshold compare is bit-identical across engines.
+
+    Candidates come from shared-EXACT-bigram blocking (equi-join on the
+    bigram, distinct-pair), with a document-frequency cap on hot bigrams —
+    the same df-cap discipline as the n-gram Jaccard dedup operator. The
+    recall contract is explicit: a pair whose every shared bigram exceeds
+    ``df_cap`` is not a candidate (at 100 TB hot bigrams like 'e ' would
+    otherwise fan out quadratically); at the linking threshold a qualifying
+    pair shares several bigrams, so a rare one almost surely survives the
+    cap. Everything is JVM-side builtin expressions — no Python UDF."""
+    md5b = spark_md5_int_sql("b")
+    base = nodes.select(
+        "surface_norm",
+        F.expr(
+            "transform(sequence(1, length(concat('^', surface_norm, '$')) - 1),"
+            " j -> substring(concat('^', surface_norm, '$'), j, 2))"
+        ).alias("bgs"),
+    )
+    # bucketed count vector: one md5 per bigram occurrence, then dim counts
+    vecs = (
+        base.select(
+            "surface_norm",
+            F.expr(f"transform(bgs, b -> {md5b} % {dim})").alias("ks"),
+        )
+        .select(
+            "surface_norm",
+            F.expr(
+                f"transform(sequence(0, {dim - 1}),"
+                " i -> CAST(size(filter(ks, k -> k = i)) AS BIGINT))"
+            ).alias("vec"),
+        )
+        .withColumn(
+            "n2", F.expr("aggregate(vec, 0L, (a, x) -> a + x * x)")
+        )
+    )
+    # blocking: distinct bigrams, df-capped, self equi-join
+    bgd = base.select(
+        "surface_norm", F.explode(F.array_distinct("bgs")).alias("b")
+    )
+    dfc = bgd.groupBy("b").agg(F.count(F.lit(1)).alias("df"))
+    bgd_ok = bgd.join(dfc.filter(F.col("df") <= df_cap), "b")
+    x, y = bgd_ok.alias("x"), bgd_ok.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.surface_norm") < F.col("y.surface_norm")),
+        )
+        .select(
+            F.col("x.surface_norm").alias("src"),
+            F.col("y.surface_norm").alias("dst"),
+        )
+        .distinct()
+    )
+    va = vecs.select(
+        F.col("surface_norm").alias("src"),
+        F.col("vec").alias("va"),
+        F.col("n2").alias("na2"),
+    )
+    vb = vecs.select(
+        F.col("surface_norm").alias("dst"),
+        F.col("vec").alias("vb"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = "aggregate(zip_with(va, vb, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+    return (
+        cand.join(va, "src")
+        .join(vb, "dst")
+        .withColumn(
+            "cos",
+            F.expr(f"CAST({dot} AS DOUBLE) / sqrt(CAST(na2 * nb2 AS DOUBLE))"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("src", "dst")
+    )
+
+
 def canonicalize(
     spark: SparkSession,
     mentions: DataFrame,
     aliases: list[tuple[str, str]] | None = None,
     use_embedding_edges: bool = False,
-    embedding_threshold: float = 0.9,
+    embedding_threshold: float | None = None,
+    embedding_method: str = "lsh",
     persist_registry: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """→ (entities, edges, mentions_with_canonical_id).
@@ -183,9 +280,17 @@ def canonicalize(
             "kind", F.lit("alias")
         )
     if use_embedding_edges:
-        edges = edges.unionByName(
-            embedding_edges(nodes, embedding_threshold).withColumn("kind", F.lit("embedding"))
-        )
+        # the two embedding spaces have different natural operating points:
+        # the hash embedding's logistic-calibrated 0.9 vs the bigram count
+        # vector's 0.72 (BIGRAM_THRESHOLD, the point where 'spark table' ↔
+        # 'fast table' style paraphrases link but unrelated surfaces don't)
+        if embedding_method == "bigram":
+            thr = BIGRAM_THRESHOLD if embedding_threshold is None else embedding_threshold
+            emb = bigram_embedding_edges(nodes, threshold=thr)
+        else:
+            thr = 0.9 if embedding_threshold is None else embedding_threshold
+            emb = embedding_edges(nodes, thr, method=embedding_method)
+        edges = edges.unionByName(emb.withColumn("kind", F.lit("embedding")))
 
     if local_pairs is not None and not use_embedding_edges:
         # the edge list is already driver-side and bounded: run union-find

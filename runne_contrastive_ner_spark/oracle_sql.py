@@ -995,6 +995,65 @@ SELECT DISTINCT * FROM (
   SELECT * FROM same_turn UNION ALL SELECT * FROM follows
 )
     """,
+    # contrastive-embedding linking end-to-end: alias edges UNION
+    # bigram-hash cosine edges (integer dot products, one double div/sqrt),
+    # closure, min-surface canonical — mirrors linking.bigram_embedding_edges
+    "kg_entities_embedding": f"""
+WITH RECURSIVE placeholder AS (SELECT 1),
+{kg_common_ctes()[5:]},
+bgall AS (
+  SELECT surface_norm, substr('^' || surface_norm || '$', u.i, 2) AS b
+  FROM surfaces,
+  UNNEST(range(1, length('^' || surface_norm || '$'))) AS u(i)
+),
+vb AS (SELECT surface_norm, {duckdb_md5_int_sql("b")} % 32 AS k FROM bgall),
+cnts AS (SELECT surface_norm, k, count(*)::BIGINT AS c FROM vb GROUP BY 1, 2),
+norms AS (SELECT surface_norm, sum(c * c)::BIGINT AS n2 FROM cnts GROUP BY 1),
+bgd AS (SELECT DISTINCT surface_norm, b FROM bgall),
+bgdf AS (SELECT b, count(*) AS df FROM bgd GROUP BY b),
+cand AS (
+  SELECT DISTINCT x.surface_norm AS sa, y.surface_norm AS sb
+  FROM bgd x
+  JOIN bgdf f ON f.b = x.b AND f.df <= 1000
+  JOIN bgd y ON y.b = x.b AND x.surface_norm < y.surface_norm
+),
+dots AS (
+  SELECT c.sa, c.sb, sum(ca.c * cb.c)::BIGINT AS dot
+  FROM cand c
+  JOIN cnts ca ON ca.surface_norm = c.sa
+  JOIN cnts cb ON cb.surface_norm = c.sb AND cb.k = ca.k
+  GROUP BY c.sa, c.sb
+),
+emb_edges AS (
+  SELECT d.sa AS src, d.sb AS dst
+  FROM dots d
+  JOIN norms na ON na.surface_norm = d.sa
+  JOIN norms nb ON nb.surface_norm = d.sb
+  WHERE d.dot / sqrt((na.n2 * nb.n2)::DOUBLE) >= 0.72
+),
+e2 AS (
+  SELECT src, dst FROM edges
+  UNION SELECT src, dst FROM emb_edges
+  UNION SELECT dst, src FROM emb_edges
+),
+reach2 AS (
+  SELECT src AS node, dst AS r FROM e2
+  UNION
+  SELECT e.src, r.r FROM e2 e JOIN reach2 r ON r.node = e.dst
+),
+canon2 AS (SELECT node, least(min(r), node) AS canonical FROM reach2 GROUP BY node),
+ent2 AS (
+  SELECT s.surface_norm, coalesce(c.canonical, s.surface_norm) AS canonical_id
+  FROM surfaces s LEFT JOIN canon2 c ON c.node = s.surface_norm
+),
+stats2 AS (
+  SELECT m.surface_norm, count(*)::BIGINT AS n_mentions,
+         array_to_string(list_sort(list(DISTINCT m.type)), ',') AS types
+  FROM mentions m GROUP BY m.surface_norm
+)
+SELECT e.canonical_id, e.surface_norm, s.n_mentions, s.types
+FROM ent2 e JOIN stats2 s USING (surface_norm)
+    """,
     "kg_embedding_components": """
 WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 pairs AS (
