@@ -397,10 +397,21 @@ def score_windows_active(
         window_actives = [scorer.score_pieces_active(pieces, words=words)]
     else:
         padded = list(pieces) + ["[PAD]"] * ((-n) % w)
-        window_actives = [
-            scorer.score_pieces_active(padded[i : i + w])
-            for i in range(0, len(padded), w)
-        ]
+        windows = [padded[i : i + w] for i in range(0, len(padded), w)]
+        batch = getattr(scorer, "score_pieces_batch", None)
+        if batch is not None and len(windows) > 1:
+            # model-level batching on the extraction hot path (ADVICE r3):
+            # one forward over ALL of the document's windows instead of one
+            # per window; dense scorers report every plane active (same
+            # result the per-window base path produced, minus the forwards)
+            denses = batch(windows)
+            window_actives = [
+                {i: d[i] for i in range(d.shape[0])} for d in denses
+            ]
+        else:
+            window_actives = [
+                scorer.score_pieces_active(win) for win in windows
+            ]
     active_types = set()
     for wa in window_actives:
         active_types.update(wa)

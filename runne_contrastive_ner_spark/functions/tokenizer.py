@@ -77,7 +77,14 @@ def subtokenize_wordpiece(word: str, start: int, wp) -> list[Subtoken]:
     a single-piece word takes the word's bounds verbatim; a multi-piece
     word is aligned piece-by-piece against the accent-folded lowercased
     word via the placeholder-tolerant ``find_substring``, and the last
-    piece's bound is stretched to the word end (trailing mark remnants).
+    piece's bound is stretched to ``start + len(prep_word)``, the same
+    expression the reference uses (tokenization.py:204-208). Note
+    ``remove_accents`` is length-preserving in both implementations (a
+    standalone NFD combining mark folds to the placeholder, it is not
+    dropped), so this equals the word end on every input — including
+    decomposed input, where interior marks become alignment gaps the
+    placeholder-tolerant search skips (asserted in
+    tests/test_wordpiece.py::test_subtokenize_nfd_final_bound_matches_reference).
     """
     from runne_contrastive_ner_spark.functions.textnorm import (
         PLACEHOLDER,
@@ -109,8 +116,11 @@ def subtokenize_wordpiece(word: str, start: int, wp) -> list[Subtoken]:
         piece_end = pos + (f1 - f0)
         out.append((src, start + pos, start + piece_end))
         pos = piece_end
-    if out[-1][2] < end:  # consume trailing accent-mark remnants
-        out[-1] = (out[-1][0], out[-1][1], end)
+    # reference expression: stretch to start + len(prep_word); since folding
+    # is 1 char per char, this is exactly the word end
+    folded_end = start + len(folded)
+    if out[-1][2] < folded_end:
+        out[-1] = (out[-1][0], out[-1][1], folded_end)
     return out
 
 

@@ -217,7 +217,13 @@ def wordpiece_doc_stats(
     def segment(batches):
         wp = WordPieceTokenizer(frozenset(vocab_list), do_lower_case=False)
         for pdf in batches:
-            segs = [wp.tokenize(w) for w in pdf["word"]]
+            # per-word greedy walk (wp.wordpiece), NOT the full tokenize:
+            # tokenize also applies basic normalization (punctuation
+            # splitting, CJK isolation, control stripping) that the DuckDB
+            # oracle does not replay — using the walk alone makes engine and
+            # oracle semantics identical on EVERY input, not just on
+            # alphanumeric corpora (a punctuated word is [UNK] in both)
+            segs = [wp.wordpiece(w) for w in pdf["word"]]
             yield pd.DataFrame(
                 {
                     "word": pdf["word"],

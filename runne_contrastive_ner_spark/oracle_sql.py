@@ -641,13 +641,15 @@ perword AS (
   FROM walk WHERE idx > 0 GROUP BY word
 ),
 seg AS (
+  -- the length-cap rule mirrors the engine's MAX_CHARS_PER_TOKEN=100:
+  -- over-long words are [UNK] regardless of whether the walk completes
   SELECT d.word,
-         CASE WHEN p.maxpos = length(d.word) + 1 THEN p.ps
-              ELSE '[UNK]' END AS word_pieces,
-         CASE WHEN p.maxpos = length(d.word) + 1 THEN p.np
-              ELSE 1::BIGINT END AS word_n_pieces,
-         CASE WHEN p.maxpos = length(d.word) + 1 THEN 0 ELSE 1 END
-           AS word_is_unk
+         CASE WHEN length(d.word) <= 100 AND p.maxpos = length(d.word) + 1
+              THEN p.ps ELSE '[UNK]' END AS word_pieces,
+         CASE WHEN length(d.word) <= 100 AND p.maxpos = length(d.word) + 1
+              THEN p.np ELSE 1::BIGINT END AS word_n_pieces,
+         CASE WHEN length(d.word) <= 100 AND p.maxpos = length(d.word) + 1
+              THEN 0 ELSE 1 END AS word_is_unk
   FROM dw d LEFT JOIN perword p USING (word)
 ),
 docwords AS (

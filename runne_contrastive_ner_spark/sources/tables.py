@@ -77,10 +77,14 @@ class TableIO:
         root = self.path(table)
         if not os.path.isdir(root):
             return
+        # exclude only snapshot dirs (exact v%06d shape) — a legacy partition
+        # directory whose column name starts with 'v' (version=1, vendor=x)
+        # is DATA and must be adopted into the snapshot
         entries = [
             e
             for e in os.listdir(root)
-            if not e.startswith("_manifest") and not e.startswith("v")
+            if not e.startswith("_manifest")
+            and not (e.startswith("v") and e[1:].isdigit())
         ]
         has_data = any(
             e.endswith(".parquet") or e == "_SUCCESS" or "=" in e for e in entries

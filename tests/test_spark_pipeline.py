@@ -425,6 +425,21 @@ class TestSnapshotIsolation:
         assert io.current_version("t") == 1
         assert io.read("t").count() == 2
 
+    def test_legacy_v_prefixed_partition_dir_migrates(self, spark, tmp_path):
+        """A legacy layout partitioned on a column whose NAME starts with
+        'v' (version=...) must be adopted too — the snapshot-dir exclusion
+        matches the exact v%06d shape, not any 'v' prefix."""
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+
+        root = tmp_path / "whv" / "t"
+        df = spark.range(6).selectExpr("id", "CAST(id % 2 AS INT) AS version")
+        df.write.partitionBy("version").parquet(str(root))
+        io = TableIO(spark, str(tmp_path / "whv"))
+        assert io.current_version("t") == 0
+        got = io.read("t")
+        assert got.count() == 6  # no partition silently dropped
+        assert set(got.columns) == {"id", "version"}
+
     def test_compaction_reclaims_and_is_idempotent(self, spark, transcripts, tmp_path):
         """Compaction expires the small-file predecessor snapshot (disk is
         actually reclaimed) and a second compact call is a no-op."""

@@ -347,7 +347,10 @@ def test_wordpiece_cover_or_unk(word):
 @given(st.text(alphabet="abcdefgh ́Ёа-", min_size=1, max_size=20))
 def test_subtokenize_bounds_tile_word(word):
     """With full single-char coverage the aligned subtokens carry
-    contiguous half-open char bounds that tile [start, start+len(word))."""
+    contiguous half-open char bounds starting at the word start. The final
+    bound follows the reference contract (tokenization.py:204-208): a
+    multi-piece word ends at start + len(prep_word); folding is length-
+    preserving (marks become placeholders), so that IS the word end."""
     word = word.strip()
     if not word or " " in word:
         return
@@ -355,6 +358,7 @@ def test_subtokenize_bounds_tile_word(word):
     vocab = frozenset(
         list(folded_chars) + ["##" + c for c in folded_chars]
     )
+    from runne_contrastive_ner_spark.functions.textnorm import remove_accents
     from runne_contrastive_ner_spark.functions.tokenizer import (
         subtokenize_wordpiece,
     )
@@ -365,6 +369,31 @@ def test_subtokenize_bounds_tile_word(word):
     except ValueError:
         return  # alignment refusal is allowed; silent misalignment is not
     assert pieces[0][1] == 7
-    assert pieces[-1][2] == 7 + len(word)
+    if len(pieces) > 1:
+        assert pieces[-1][2] == 7 + len(remove_accents(word.lower()))
+    else:
+        assert pieces[-1][2] == 7 + len(word)
     for (_, _, a1), (_, b0, _) in zip(pieces, pieces[1:]):
         assert a1 == b0
+
+
+def test_subtokenize_nfd_final_bound_matches_reference():
+    """Decomposed input (combining acute, NFD): remove_accents is
+    length-preserving in BOTH implementations — the standalone mark folds
+    to the '`' placeholder rather than being dropped — so prep_word keeps
+    the word's length and the final bound is the true word end
+    (tokenization.py:59-77, 204-208). The mark's position becomes an
+    placeholder that the reference's find_substring CONSUMES into the
+    preceding piece's match: 'cafe' spans (10,15) — mark absorbed — and
+    '##s' sits at (15,16). Pinned because an accent-STRIPPING fold (the
+    natural wrong implementation) would shift every bound after the mark
+    left by one."""
+    from runne_contrastive_ner_spark.functions.tokenizer import (
+        subtokenize_wordpiece,
+    )
+
+    word = "cafe\u0301s"  # NFD: 6 chars, mark at index 4
+    assert len(word) == 6
+    wp = WordPieceTokenizer(frozenset({"cafe", "##s"}), do_lower_case=True)
+    pieces = subtokenize_wordpiece(word, 10, wp)
+    assert pieces == [("cafe", 10, 15), ("##s", 15, 16)]
