@@ -47,9 +47,53 @@ def run_query(q, spark, sf_dir) -> tuple[float, int]:
     return time.time() - t0, n
 
 
+def scorer_kernel_bench() -> float:
+    """numpy-BERT scorer kernel: windows/sec for one partition's batched
+    forward (the score_pieces_batch path the extraction hot loop uses).
+    Synthetic bundle at a mid-size shape (hidden 128, 4 layers, window
+    128) — an architecture-relative number, not a trained-model claim.
+    Runs BEFORE the Spark session exists: measured after a full bench the
+    same call reads 30-40x slower from JVM/worker memory+CPU contention."""
+    import numpy as np
+
+    from runne_contrastive_ner_spark.functions.bert_numpy import (
+        NumpyBertNer,
+        synthetic_bundle,
+    )
+
+    sw = synthetic_bundle(
+        ["PERSON", "ORGANIZATION", "LOCATION"],
+        vocab_size=1000,
+        hidden=128,
+        n_layers=4,
+        n_heads=4,
+        max_pos=128,
+        ffn=256,
+    )
+    model = NumpyBertNer(sw, ["PERSON", "ORGANIZATION", "LOCATION"])
+    rng = np.random.default_rng(7)
+    wins = rng.integers(4, 1000, size=(64, 128)).tolist()
+    model.batch(wins)  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        model.batch(wins)
+        best = min(best, time.time() - t0)
+    return round(64 / best, 1)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # pin the whole process tree (this interpreter, the JVM it spawns, the
+    # Python workers the JVM forks) to exactly `cpus` cores — the same
+    # taskset discipline tools/scaling_bench.py uses — so per-rep timings
+    # are not scheduler-migration-dependent (VERDICT r3 item 8)
+    try:
+        os.sched_setaffinity(0, set(range(int(cpus))))
+    except (AttributeError, OSError):
+        pass  # non-Linux or restricted: run unpinned
+    scorer_windows_sec = scorer_kernel_bench()
     spark = build_session(app_name="bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -64,10 +108,12 @@ def main():
     # code), and min-of-N is the standard way to report the operator cost
     # rather than the interference. The kg_* lineage memo is released
     # between reps so the second rep re-computes honestly.
+    reps_raw: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for rep in range(2):
         entry_mod.release_linked()
         for name in HEADLINE:
             sec, n = run_query(queries[name], spark, sf_dir)
+            reps_raw[name].append(round(sec, 3))
             if rep == 0 or sec < timings[name]:
                 timings[name] = round(sec, 3)
             counts[name] = n
@@ -145,6 +191,8 @@ def main():
         "pipeline_cold_sec": round(pipeline_cold, 3),
         "pipeline_resume_triples_sec": round(pipeline_resume, 3),
         "pipeline_skip_sec": round(pipeline_skip, 3),
+        "query_reps_sec": reps_raw,
+        "scorer_batch_windows_per_sec": scorer_windows_sec,
     }
     print(json.dumps(out))
     spark.stop()

@@ -34,7 +34,84 @@ import math
 import numpy as np
 
 LN_EPS = 1e-12  # BertConfig.layer_norm_eps default
-_erf = np.vectorize(math.erf, otypes=[np.float64])
+
+# Cody's rational-Chebyshev erf/erfc coefficients (W. J. Cody 1969; the
+# SPECFUN `calerf` algorithm, the same machinery libm implementations use).
+# A vectorized numpy erf: np.vectorize(math.erf) is a per-element Python
+# loop and dominated the encoder forward (~60x slower than the matmuls).
+_ERF_A = (3.16112374387056560e0, 1.13864154151050156e2,
+          3.77485237685302021e2, 3.20937758913846947e3)
+_ERF_A4 = 1.85777706184603153e-1
+_ERF_B = (2.36012909523441209e1, 2.44024637934444173e2,
+          1.28261652607737228e3, 2.84423683343917062e3)
+_ERF_C = (5.64188496988670089e-1, 8.88314979438837594e0,
+          6.61191906371416295e1, 2.98635138197400131e2,
+          8.81952221241769090e2, 1.71204761263407058e3,
+          2.05107837782607147e3)
+_ERF_C7 = 1.23033935479799725e3
+_ERF_C8 = 2.15311535474403846e-8
+_ERF_D = (1.57449261107098347e1, 1.17693950891312499e2,
+          5.37181101862009858e2, 1.62138957456669019e3,
+          3.29079923573345963e3, 4.36261909014324716e3,
+          3.43936767414372164e3)
+_ERF_D7 = 1.23033935480374942e3
+_ERF_P = (3.05326634961232344e-1, 3.60344899949804439e-1,
+          1.25781726111229246e-1, 1.60837851487422766e-2)
+_ERF_P4 = 6.58749161529837803e-4
+_ERF_P5 = 1.63153871373020978e-2
+_ERF_Q = (2.56852019228982242e0, 1.87295284992346047e0,
+          5.27905102951428412e-1, 6.05183413124413191e-2)
+_ERF_Q4 = 2.33520497626869185e-3
+_SQRPI = 5.6418958354775628695e-1  # 1/sqrt(pi)
+
+
+def _erf(x: np.ndarray) -> np.ndarray:
+    """erf over a float64 array, |error| < 1e-15 vs math.erf (pinned in
+    tests/test_artifact.py::test_vector_erf_matches_math_erf)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.abs(x)
+    out = np.empty_like(y)
+
+    m1 = y <= 0.46875
+    if m1.any():
+        z = y[m1] * y[m1]
+        xnum = _ERF_A4 * z
+        xden = z
+        for a, b in zip(_ERF_A[:3], _ERF_B[:3]):
+            xnum = (xnum + a) * z
+            xden = (xden + b) * z
+        out[m1] = y[m1] * (xnum + _ERF_A[3]) / (xden + _ERF_B[3])
+
+    m2 = (y > 0.46875) & (y <= 4.0)
+    if m2.any():
+        yy = y[m2]
+        xnum = _ERF_C8 * yy
+        xden = yy
+        for c, d in zip(_ERF_C, _ERF_D):
+            xnum = (xnum + c) * yy
+            xden = (xden + d) * yy
+        r = (xnum + _ERF_C7) / (xden + _ERF_D7)
+        ysq = np.floor(yy * 16.0) / 16.0
+        delta = (yy - ysq) * (yy + ysq)
+        out[m2] = 1.0 - np.exp(-ysq * ysq) * np.exp(-delta) * r
+
+    m3 = y > 4.0
+    if m3.any():
+        yy = y[m3]
+        z = 1.0 / (yy * yy)
+        xnum = _ERF_P5 * z
+        xden = z
+        for p, q in zip(_ERF_P, _ERF_Q):
+            xnum = (xnum + p) * z
+            xden = (xden + q) * z
+        r = z * (xnum + _ERF_P4) / (xden + _ERF_Q4)
+        r = (_SQRPI - r) / yy
+        ysq = np.floor(yy * 16.0) / 16.0
+        delta = (yy - ysq) * (yy + ysq)
+        erfc = np.exp(-ysq * ysq) * np.exp(-delta) * r
+        out[m3] = 1.0 - erfc
+
+    return np.copysign(out, x)
 
 
 def gelu(x: np.ndarray) -> np.ndarray:
@@ -132,10 +209,15 @@ class NumpyBertNer:
 
         def proj(name):
             m = x @ w[f"layer{i}.{name}.w"] + w[f"layer{i}.{name}.b"]
-            return m.reshape(bsz, n, h, dh).transpose(0, 2, 1, 3)  # [B,h,n,dh]
+            # contiguous copy: BLAS-backed matmul over the strided transpose
+            # view runs ~3x slower than over packed operands
+            return np.ascontiguousarray(
+                m.reshape(bsz, n, h, dh).transpose(0, 2, 1, 3)
+            )  # [B,h,n,dh]
 
         q, k, v = proj("q"), proj("k"), proj("v")
-        scores = q @ k.transpose(0, 1, 3, 2) / math.sqrt(dh)  # [B,h,n,n]
+        kt = np.ascontiguousarray(k.transpose(0, 1, 3, 2))
+        scores = q @ kt / math.sqrt(dh)  # [B,h,n,n]
         scores = scores + add_mask[:, None, None, :]
         ctx = softmax_last(scores) @ v
         ctx = ctx.transpose(0, 2, 1, 3).reshape(bsz, n, d)

@@ -220,3 +220,28 @@ def test_batched_windows_match_per_window(npz_artifact_dir):
         axis=1,
     )[:, : len(pieces), :]
     assert np.abs(full - per_window).max() < 1e-9
+
+
+def test_vector_erf_matches_math_erf():
+    """The vectorized Cody-rational erf (bert_numpy._erf, replacing the
+    per-element np.vectorize(math.erf) that dominated the encoder forward)
+    must agree with libm to 1 ulp across all three approximation regions
+    and their boundaries."""
+    import math
+
+    from runne_contrastive_ner_spark.functions.bert_numpy import _erf
+
+    grid = np.concatenate(
+        [
+            np.linspace(-8.0, 8.0, 40_001),
+            np.array([0.0, 1e-300, -1e-300, 0.46875, -0.46875, 4.0, -4.0,
+                      6.0, -6.0, 27.0, -27.0]),
+        ]
+    )
+    got = _erf(grid)
+    want = np.array([math.erf(v) for v in grid])
+    assert np.abs(got - want).max() <= 2.3e-16
+    # odd symmetry and saturation
+    assert _erf(np.array([0.0]))[0] == 0.0
+    assert _erf(np.array([27.0]))[0] == 1.0
+    assert _erf(np.array([-27.0]))[0] == -1.0
