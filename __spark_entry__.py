@@ -210,6 +210,40 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity triangle participation over the co-occurrence graph:
+    degree-ordered orientation + wedge-closing joins (operators/graph.py
+    triangle_counts — the O(m^1.5) shape whose wedge fan-out is bounded by
+    sqrt(m) per node, hub-safe at corpus scale). Integer counts over a
+    deterministic orientation: bit-stable under any parallelism, replayed
+    construction-for-construction by the DuckDB oracle."""
+    from runne_contrastive_ner_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    out = triangle_counts(cooccurrence_edges(_triples(spark, sf_dir)))
+    return out.select(F.col("src").alias("canonical_id"), "n_triangles").orderBy(
+        F.desc("n_triangles"), "canonical_id"
+    )
+
+
+def kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities over the
+    co-occurrence graph (operators/graph.py label_propagation): most
+    frequent neighbor label, ties to the minimum, fixed 4 rounds — a pure
+    function of the graph, so the oracle unrolls the identical rounds."""
+    from runne_contrastive_ner_spark.operators.graph import (
+        cooccurrence_edges,
+        label_propagation,
+    )
+
+    out = label_propagation(cooccurrence_edges(_triples(spark, sf_dir)), 4)
+    return out.select(F.col("src").alias("canonical_id"), "community").orderBy(
+        "community", "canonical_id"
+    )
+
+
 def kg_edge_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confidence-weighted predicate induction: conversation-level
     co-occurrence LIFT per entity pair — observed joint conversation count
@@ -789,6 +823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_role_triples": kg_role_triples,
         "kg_two_hop": kg_two_hop,
         "kg_pagerank": kg_pagerank,
+        "kg_triangles": kg_triangles,
+        "kg_communities": kg_communities,
         "kg_edge_lift": kg_edge_lift,
         "kg_degree_histogram": kg_degree_histogram,
         "kg_verb_predicates": kg_verb_predicates,
@@ -830,14 +866,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "dd_exact_dup_stats": dd.exact_dup_stats,
         "dd_ngram_jaccard_pairs": dd.ngram_jaccard_pairs,
-        "dd_minhash_signatures": dd.minhash_signatures,
         "dd_minhash_lsh_candidates": dd.minhash_lsh_candidates,
-        "dd_simhash_values": dd.simhash_values,
         "dd_simhash_near_pairs": dd.simhash_near_pairs,
         "dd_embedding_neardup_pairs": dd.embedding_neardup_pairs,
         "dd_dedup_clusters": dd.dedup_clusters,
-        # ---- registry position 51+ from here: the rel_* block is the
-        # long-stable family with green driver rows in every prior round
+        # ---- registry position 51+ from here: long-stable queries with
+        # green driver rows in every prior round (rel_* family, plus the
+        # two dedup intermediates rotated out in r4 to admit kg_triangles /
+        # kg_communities into the gate window)
+        "dd_minhash_signatures": dd.minhash_signatures,
+        "dd_simhash_values": dd.simhash_values,
         "rel_event_type_freqs": rel.event_type_freqs,
         "rel_min_freq_gate": rel.min_freq_gate,
         "rel_pricing_summary": rel.pricing_summary,

@@ -95,3 +95,86 @@ def pagerank(
             "deg",
         )
     return pr.select("src", "pr_q")
+
+
+def triangle_counts(nbrs: DataFrame) -> DataFrame:
+    """Per-node triangle participation over a symmetrized edge list —
+    degree-ordered orientation (the standard O(m^1.5) distributed scheme:
+    orient each undirected edge from the (degree, id)-smaller endpoint to
+    the larger, enumerate wedges at each tail, close them against the
+    oriented edge set). Every stage is an equi-join or groupBy on edge
+    keys; the orientation bounds every node's out-degree by O(sqrt(m)), so
+    no hub explodes the wedge join — the property that makes this shape
+    survive power-law graphs at 100 TB where a naive nbrs^3 join dies.
+
+    Determinism: counting is integer; the orientation total-orders nodes by
+    (degree, id), so the result is partitioning-independent and the DuckDB
+    oracle replays the identical construction.
+
+    Returns ``(src, n_triangles)`` for nodes in >= 1 triangle.
+    """
+    nbrs = nbrs.localCheckpoint(eager=True)
+    deg = nbrs.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    und = nbrs.filter(F.col("src") < F.col("dst"))
+    da = deg.select(F.col("src").alias("u"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("src").alias("v"), F.col("deg").alias("degb"))
+    lo_first = F.expr("dega < degb OR (dega = degb AND src < dst)")
+    ori = (
+        und.join(da, und.src == da.u)
+        .join(db, und.dst == db.v)
+        .select(
+            F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("a"),
+            F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("b"),
+        )
+        # referenced 3x (both wedge sides + the closing join): materialize
+        # once so neither the plan nor the runtime replays the orientation
+        .localCheckpoint(eager=True)
+    )
+    o1 = ori.select(F.col("a").alias("t"), F.col("b").alias("h1"))
+    o2 = ori.select(F.col("a").alias("t"), F.col("b").alias("h2"))
+    wedge = o1.join(o2, "t").filter(F.col("h1") != F.col("h2"))
+    closing = ori.select(F.col("a").alias("h1"), F.col("b").alias("h2"))
+    tri = wedge.join(closing, ["h1", "h2"])
+    members = (
+        tri.select(F.col("t").alias("src"))
+        .unionAll(tri.select(F.col("h1").alias("src")))
+        .unionAll(tri.select(F.col("h2").alias("src")))
+    )
+    return members.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+def label_propagation(nbrs: DataFrame, iterations: int = 4) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    made deterministic: every node starts labeled with itself; each round
+    every node adopts its neighbors' most frequent label, ties broken by
+    MINIMUM label; all nodes update simultaneously for a fixed number of
+    rounds. Frequency + min tie-break makes each round a pure function of
+    the previous labeling — no RNG, no visit order — so the result is
+    identical under any partitioning and the oracle unrolls the same
+    rounds in SQL.
+
+    Shuffle shape per round: one equi-join (labels x edges) + one groupBy
+    (node, label) + one per-node top-1 window — all keyed on node ids.
+
+    Returns ``(src, community)``.
+    """
+    from pyspark.sql import Window
+
+    nbrs = nbrs.localCheckpoint(eager=True)
+    lab = nbrs.select("src").distinct().withColumn("lab", F.col("src"))
+    pick = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(iterations):
+        neigh = nbrs.join(lab, "src").select(
+            F.col("dst").alias("node"), "lab"
+        )
+        cnt = neigh.groupBy("node", "lab").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        lab = (
+            cnt.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select(F.col("node").alias("src"), "lab")
+        )
+    return lab.select("src", F.col("lab").alias("community"))

@@ -1282,6 +1282,86 @@ pr3 AS (SELECT d.src,
         FROM deg d CROSS JOIN nn LEFT JOIN s3 i ON i.src = d.src)
 SELECT src AS canonical_id, pr_q FROM pr3 ORDER BY pr_q DESC, canonical_id
     """,
+    # degree-ordered triangle counting: orient each undirected co-occurrence
+    # edge from the (deg, id)-smaller endpoint, enumerate wedges at each
+    # tail, close against the oriented edge set — the same construction as
+    # graph.triangle_counts, so counts match integer-for-integer
+    "kg_triangles": f"""
+WITH RECURSIVE placeholder AS (SELECT 1),
+{kg_common_ctes()[5:]},
+turn_ents AS (
+  SELECT DISTINCT m.conv_id, m.turn_idx, e.canonical_id
+  FROM mentions m JOIN entities e ON e.surface_norm = m.surface_norm
+),
+co AS (
+  SELECT DISTINCT a.canonical_id AS src, b.canonical_id AS dst
+  FROM turn_ents a JOIN turn_ents b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND a.canonical_id < b.canonical_id
+),
+nbrs AS (SELECT src, dst FROM co UNION SELECT dst, src FROM co),
+degx AS (SELECT src, count(*)::BIGINT AS deg FROM nbrs GROUP BY src),
+ori AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.src < u.dst)
+              THEN u.src ELSE u.dst END AS a,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.src < u.dst)
+              THEN u.dst ELSE u.src END AS b
+  FROM co u JOIN degx da ON da.src = u.src JOIN degx db ON db.src = u.dst
+),
+wedge AS (
+  SELECT o1.a AS t, o1.b AS h1, o2.b AS h2
+  FROM ori o1 JOIN ori o2 ON o2.a = o1.a AND o1.b <> o2.b
+),
+tri AS (
+  SELECT w.t, w.h1, w.h2
+  FROM wedge w JOIN ori o ON o.a = w.h1 AND o.b = w.h2
+),
+members AS (
+  SELECT t AS node FROM tri
+  UNION ALL SELECT h1 FROM tri
+  UNION ALL SELECT h2 FROM tri
+)
+SELECT node AS canonical_id, count(*)::BIGINT AS n_triangles
+FROM members GROUP BY node
+ORDER BY n_triangles DESC, canonical_id
+    """,
+    # deterministic synchronous label propagation, 4 unrolled rounds: each
+    # node adopts its neighbors' most frequent label, ties to the minimum —
+    # mirrors graph.label_propagation round for round
+    "kg_communities": f"""
+WITH RECURSIVE placeholder AS (SELECT 1),
+{kg_common_ctes()[5:]},
+turn_ents AS (
+  SELECT DISTINCT m.conv_id, m.turn_idx, e.canonical_id
+  FROM mentions m JOIN entities e ON e.surface_norm = m.surface_norm
+),
+co AS (
+  SELECT DISTINCT a.canonical_id AS src, b.canonical_id AS dst
+  FROM turn_ents a JOIN turn_ents b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND a.canonical_id < b.canonical_id
+),
+nbrs AS (SELECT src, dst FROM co UNION SELECT dst, src FROM co),
+l0 AS (SELECT DISTINCT src AS node, src AS lab FROM nbrs),
+c1 AS (SELECT e.dst AS node, l.lab, count(*) AS c
+       FROM nbrs e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+l1 AS (SELECT node, lab FROM c1
+       QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) = 1),
+c2 AS (SELECT e.dst AS node, l.lab, count(*) AS c
+       FROM nbrs e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+l2 AS (SELECT node, lab FROM c2
+       QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) = 1),
+c3 AS (SELECT e.dst AS node, l.lab, count(*) AS c
+       FROM nbrs e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
+l3 AS (SELECT node, lab FROM c3
+       QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) = 1),
+c4 AS (SELECT e.dst AS node, l.lab, count(*) AS c
+       FROM nbrs e JOIN l3 l ON l.node = e.src GROUP BY 1, 2),
+l4 AS (SELECT node, lab FROM c4
+       QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) = 1)
+SELECT node AS canonical_id, lab AS community
+FROM l4 ORDER BY community, canonical_id
+    """,
     # lexical-bridge predicate: first [A-Za-z]+ token of the inter-mention
     # text, bridges capped at 40 chars — mirrored from the engine
     "kg_verb_predicates": f"""

@@ -102,3 +102,131 @@ class TestPageRank:
         hubs = [v for k, v in got.items() if k.startswith("h")]
         members = [v for k, v in got.items() if k.startswith("m")]
         assert min(hubs) > max(members)
+
+
+def _sym(spark, und_pairs):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(sorted(set(und_pairs)), "src string, dst string")
+    return df.unionByName(
+        df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def _triangles_brute(und_pairs) -> dict[str, int]:
+    import itertools
+
+    adj: dict[str, set] = {}
+    for a, b in und_pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {n: 0 for n in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            out[a] += 1
+            out[b] += 1
+            out[c] += 1
+    return {k: v for k, v in out.items() if v}
+
+
+class TestTriangles:
+    def test_single_triangle_plus_tail(self, spark):
+        from runne_contrastive_ner_spark.operators.graph import triangle_counts
+
+        und = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+        got = {
+            r.src: r.n_triangles
+            for r in triangle_counts(_sym(spark, und)).collect()
+        }
+        assert got == {"a": 1, "b": 1, "c": 1}
+
+    def test_random_graph_matches_bruteforce(self, spark):
+        import random
+
+        from runne_contrastive_ner_spark.operators.graph import triangle_counts
+
+        rng = random.Random(41)
+        nodes = [f"n{i:02d}" for i in range(24)]
+        und = {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(90)
+        }
+        got = {
+            r.src: r.n_triangles
+            for r in triangle_counts(_sym(spark, und)).collect()
+        }
+        assert got == _triangles_brute(und)
+
+    def test_k4_counts(self, spark):
+        """Complete graph on 4 nodes: each node sits in C(3,2)=3 triangles."""
+        import itertools
+
+        from runne_contrastive_ner_spark.operators.graph import triangle_counts
+
+        und = list(itertools.combinations("wxyz", 2))
+        got = {
+            r.src: r.n_triangles
+            for r in triangle_counts(_sym(spark, und)).collect()
+        }
+        assert got == {"w": 3, "x": 3, "y": 3, "z": 3}
+
+
+def _label_prop_brute(und_pairs, iterations: int) -> dict[str, str]:
+    from collections import Counter
+
+    adj: dict[str, set] = {}
+    for a, b in und_pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {n: n for n in adj}
+    for _ in range(iterations):
+        nxt = {}
+        for n in adj:
+            cnt = Counter(lab[m] for m in adj[n])
+            # deterministic: max count, ties -> MIN label
+            top = max(cnt.values())
+            nxt[n] = min(l for l, c in cnt.items() if c == top)
+        lab = nxt
+    return lab
+
+
+class TestLabelPropagation:
+    def test_two_cliques_one_bridge(self, spark):
+        """Two 4-cliques joined by a single bridge edge resolve into two
+        communities (the bridge cannot outvote the cliques)."""
+        import itertools
+
+        from runne_contrastive_ner_spark.operators.graph import (
+            label_propagation,
+        )
+
+        left = list(itertools.combinations(["a1", "a2", "a3", "a4"], 2))
+        right = list(itertools.combinations(["b1", "b2", "b3", "b4"], 2))
+        und = left + right + [("a4", "b1")]
+        got = {
+            r.src: r.community
+            for r in label_propagation(_sym(spark, und), 4).collect()
+        }
+        assert len({got[n] for n in ["a1", "a2", "a3", "a4"]}) == 1
+        assert len({got[n] for n in ["b1", "b2", "b3", "b4"]}) == 1
+        assert got["a1"] != got["b2"]
+
+    def test_matches_brute_force_and_is_deterministic(self, spark):
+        import random
+
+        from runne_contrastive_ner_spark.operators.graph import (
+            label_propagation,
+        )
+
+        rng = random.Random(7)
+        nodes = [f"v{i:02d}" for i in range(20)]
+        und = {tuple(sorted(rng.sample(nodes, 2))) for _ in range(45)}
+        sym = _sym(spark, und)
+        got1 = {
+            r.src: r.community for r in label_propagation(sym, 4).collect()
+        }
+        got2 = {
+            r.src: r.community
+            for r in label_propagation(sym.repartition(7), 4).collect()
+        }
+        assert got1 == got2 == _label_prop_brute(und, 4)
