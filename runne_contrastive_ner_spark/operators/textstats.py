@@ -409,3 +409,75 @@ def chunk_windows(
             F.array_join("chunk", " ").alias("chunk_text"),
         )
     )
+
+
+MIXTURE_BUDGET_TOKENS = 4_000
+MIXTURE_PPM = 1_000_000
+
+
+def source_mixture(
+    spark: SparkSession,
+    sf_dir: str,
+    budget_tokens: int = MIXTURE_BUDGET_TOKENS,
+) -> DataFrame:
+    """Temperature-weighted source mixing — the standard LM data-mixing
+    rule: sample source ``s`` in proportion to ``T_s^alpha`` (alpha = 0.5
+    here, the square-root temperature that upweights small sources), then
+    hash-sample documents so each source's expected sampled tokens hit
+    ``budget_tokens * w_s``.
+
+    Determinism contract: the per-source weight uses ``floor(sqrt(T_s) *
+    1000)`` — IEEE sqrt is correctly rounded, the quantization makes the
+    cross-source SUM an integer, and the per-source keep-threshold
+    ``min(ppm, budget * q_s * ppm / (denom * T_s))`` is one integer
+    expression — so membership (``md5(doc_id) % ppm < threshold``) is
+    bit-identical in Spark and DuckDB under any parallelism. Per-document
+    sampling is a stateless hash: no RNG, no ordering, restart-safe — at
+    100 TB the only aggregate is one row per source (broadcast back).
+
+    Returns one row per source: totals, weight, threshold, and what the
+    sample actually drew."""
+    from runne_contrastive_ner_spark.functions.hashing import spark_md5_int_sql
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        F.size(_toks()).cast("bigint").alias("n_tokens"),
+    )
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    ).withColumn(
+        "q", F.expr("CAST(floor(sqrt(CAST(total_tokens AS DOUBLE)) * 1000) AS BIGINT)")
+    )
+    denom = per_source.agg(F.sum("q")).collect()[0][0] or 1  # one scalar
+    thresholded = per_source.withColumn(
+        "keep_ppm",
+        F.expr(
+            f"CAST(least({MIXTURE_PPM}L, "
+            f"{budget_tokens}L * q * {MIXTURE_PPM}L DIV ({denom}L * total_tokens)"
+            ") AS BIGINT)"
+        ),
+    )
+    h = spark_md5_int_sql("CAST(doc_id AS STRING)")
+    sampled = (
+        docs.join(F.broadcast(thresholded.select("source", "keep_ppm")), "source")
+        .filter(F.expr(f"{h} % {MIXTURE_PPM} < keep_ppm"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("sampled_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sampled_tokens"),
+        )
+    )
+    return (
+        thresholded.join(sampled, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.expr(f"q * {MIXTURE_PPM} DIV {denom}L").alias("weight_ppm"),
+            "keep_ppm",
+            F.coalesce("sampled_docs", F.lit(0)).cast("bigint").alias("sampled_docs"),
+            F.coalesce("sampled_tokens", F.lit(0)).cast("bigint").alias("sampled_tokens"),
+        )
+    )

@@ -703,6 +703,41 @@ TEXTSTATS["ts_shard_packing"] = f"""
 
 # quality gate AND language gate AND near-dup-survivor gate (full verified
 # cluster chain reused; losers excluded with an anti-join)
+# temperature-weighted source mixing (alpha = 0.5): integer-quantized
+# sqrt weights, integer thresholds, md5 membership — mirrors
+# textstats.source_mixture arithmetic step for step
+TEXTSTATS["ts_source_mixture"] = f"""
+    WITH d AS (
+      SELECT doc_id::BIGINT AS doc_id, source,
+             len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT
+               AS n_tokens
+      FROM documents
+    ),
+    per_source AS (
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(n_tokens)::BIGINT AS total_tokens,
+             floor(sqrt(sum(n_tokens)::DOUBLE) * 1000)::BIGINT AS q
+      FROM d GROUP BY source
+    ),
+    dn AS (SELECT sum(q)::BIGINT AS denom FROM per_source),
+    th AS (
+      SELECT p.*, least(1000000, 4000 * p.q * 1000000 // (dn.denom * p.total_tokens))::BIGINT AS keep_ppm,
+             (p.q * 1000000 // dn.denom)::BIGINT AS weight_ppm
+      FROM per_source p CROSS JOIN dn
+    ),
+    sampled AS (
+      SELECT d.source, count(*)::BIGINT AS sampled_docs,
+             sum(d.n_tokens)::BIGINT AS sampled_tokens
+      FROM d JOIN th ON th.source = d.source
+      WHERE {duckdb_md5_int_sql("d.doc_id::VARCHAR")} % 1000000 < th.keep_ppm
+      GROUP BY d.source
+    )
+    SELECT t.source, t.n_docs, t.total_tokens, t.weight_ppm, t.keep_ppm,
+           coalesce(s.sampled_docs, 0)::BIGINT AS sampled_docs,
+           coalesce(s.sampled_tokens, 0)::BIGINT AS sampled_tokens
+    FROM th t LEFT JOIN sampled s ON s.source = t.source
+"""
+
 TEXTSTATS["ts_corpus_selection"] = f"""
     WITH RECURSIVE {_SHINGLES_CTE},
     {_MINHASH_BAND_CTES},

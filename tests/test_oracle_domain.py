@@ -195,3 +195,50 @@ def test_shard_packing_parallelism_under_giant_source(spark, tmp_path):
     # shard indices stay dense per source: every shard below the max is used
     shard_ids = {r.shard_idx for r in giant}
     assert shard_ids == set(range(max(shard_ids) + 1))
+
+
+def test_source_mixture_sqrt_upweights_small_sources(spark, tmp_path):
+    """Temperature mixing at alpha=0.5: a source with 100x the tokens gets
+    only ~10x the weight; every arithmetic step is integer so the result is
+    identical under any parallelism; sampled membership matches the Python
+    md5 mirror document for document."""
+    import math
+
+    from runne_contrastive_ner_spark.functions.hashing import md5_int
+    from runne_contrastive_ner_spark.operators.textstats import (
+        MIXTURE_PPM,
+        source_mixture,
+    )
+
+    rows = []
+    did = 0
+    for src, n_docs, toks_per_doc in [("big", 200, 50), ("small", 10, 10)]:
+        for _ in range(n_docs):
+            rows.append((did, src, " ".join(f"t{i}" for i in range(toks_per_doc))))
+            did += 1
+    sf = str(tmp_path / "mix")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.parquet(sf + "/documents.parquet")
+
+    out = {r.source: r for r in source_mixture(spark, sf, budget_tokens=400).collect()}
+    big, small = out["big"], out["small"]
+    assert big.total_tokens == 10_000 and small.total_tokens == 100
+    # sqrt weighting: 100x tokens -> 10x weight (quantized)
+    assert abs(big.weight_ppm / small.weight_ppm - 10.0) < 0.01
+    # integer mirror of the threshold formula
+    q_big = math.floor(math.sqrt(10_000) * 1000)
+    q_small = math.floor(math.sqrt(100) * 1000)
+    denom = q_big + q_small
+    assert big.keep_ppm == min(MIXTURE_PPM, 400 * q_big * MIXTURE_PPM // (denom * 10_000))
+    assert small.keep_ppm == min(MIXTURE_PPM, 400 * q_small * MIXTURE_PPM // (denom * 100))
+    # membership replays the md5 rule exactly
+    for src, n_docs, toks, rec in [("big", 200, 50, big), ("small", 10, 10, small)]:
+        ids = [d for d, s, _ in rows if s == src]
+        kept = [d for d in ids if md5_int(str(d)) % MIXTURE_PPM < rec.keep_ppm]
+        assert rec.sampled_docs == len(kept)
+        assert rec.sampled_tokens == len(kept) * toks
+    # the sample lands in the budget's neighborhood without exceeding the
+    # per-source expectation systematically (hash-uniformity at this n)
+    total_sampled = big.sampled_tokens + small.sampled_tokens
+    assert 0 < total_sampled < 4 * 400
