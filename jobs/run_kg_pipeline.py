@@ -32,7 +32,7 @@ def main() -> None:
     ap.add_argument(
         "--analytics",
         action="store_true",
-        help="materialize the PageRank-centrality analytics stage",
+        help="materialize the graph-analytics stage (PageRank centrality + triangle counts + label-propagation community per entity)",
     )
     ap.add_argument(
         "--compact",

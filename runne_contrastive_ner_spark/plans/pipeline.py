@@ -134,17 +134,40 @@ def run_pipeline(
 
     analytics = None
     if cfg.analytics:
-        from ..operators.graph import cooccurrence_edges, pagerank
+        from ..operators.graph import (
+            cooccurrence_edges,
+            label_propagation,
+            pagerank,
+            triangle_counts,
+        )
 
         def build_analytics():
-            out = pagerank(
-                cooccurrence_edges(triples), iterations=cfg.pagerank_iterations
+            # one analytics row per entity: centrality + triangle
+            # participation + community label, all over the SAME
+            # materialized edge list (checkpointed once inside each
+            # operator; the three are independent equi-join/groupBy chains)
+            edges_g = cooccurrence_edges(triples)
+            pr = pagerank(edges_g, iterations=cfg.pagerank_iterations)
+            tri = triangle_counts(edges_g)
+            comm = label_propagation(edges_g, iterations=4)
+            return (
+                pr.join(tri, "src", "left")
+                .join(comm, "src", "left")
+                .select(
+                    F.col("src").alias("entity_id"),
+                    "pr_q",
+                    F.coalesce("n_triangles", F.lit(0))
+                    .cast("long")
+                    .alias("n_triangles"),
+                    F.coalesce("community", F.col("src")).alias("community"),
+                )
             )
-            return out.withColumnRenamed("src", "entity_id")
 
         analytics = runner.run(
             "analytics",
-            fingerprint("analytics", link_fp, cfg.window_k, cfg.pagerank_iterations),
+            fingerprint(
+                "analytics-v2", link_fp, cfg.window_k, cfg.pagerank_iterations
+            ),
             build_analytics,
             lineage_key="entity_id",
         )

@@ -257,6 +257,15 @@ class TestPipeline:
         )
         assert n_nodes == ents > 0
         assert "analytics" in res.metrics
+        # r4: the stage carries centrality + triangles + community per row
+        assert set(res.analytics.columns) == {
+            "entity_id", "pr_q", "n_triangles", "community",
+        }
+        rows = res.analytics.collect()
+        assert all(r.pr_q > 0 and r.n_triangles >= 0 for r in rows)
+        # community labels are node ids of the same graph
+        labels = {r.community for r in rows}
+        assert labels <= {r.entity_id for r in rows}
         res2 = run_pipeline(spark, transcripts, cfg, input_fp="a")
         assert (
             res2.metrics["analytics"]["wall_sec"] == res.metrics["analytics"]["wall_sec"]
