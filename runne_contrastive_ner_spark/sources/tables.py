@@ -268,3 +268,49 @@ class TableIO:
         return os.path.exists(os.path.join(p, "_SUCCESS")) or (
             os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p))
         )
+
+
+# --- bucketed tables (co-located joins) --------------------------------------
+# Big-fact x big-fact joins shuffle both sides on the key EVERY time they
+# run. Bucketing pre-shuffles ONCE at write: each side is hash-clustered
+# into n_buckets files on the join key + registered in the session catalog,
+# and a join between two tables bucketed the same way runs with ZERO
+# Exchange (asserted in tests/test_spark_pipeline.py). At 100 TB this turns
+# a recurring multi-TB shuffle into a one-time write cost — the standard
+# technique for the entity-dictionary x mentions and triples x triples
+# self-joins a KG workload repeats.
+#
+# Catalog caveat, stated honestly: bucketing METADATA lives in the catalog.
+# On a production cluster that is a persistent metastore (or Iceberg, whose
+# bucket transforms TableIO would use natively); this sandbox has the
+# in-memory catalog, so registration is per-application and re-attach
+# re-registers over the same files.
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write ``df`` hash-bucketed on ``bucket_cols`` as external table
+    ``name`` at ``path`` (overwrite). Joins between two tables written with
+    the same (cols, n_buckets) spec are exchange-free."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    writer = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
+def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
+    """The bucketed table, WITH its bucket metadata (a plain parquet read of
+    the same files would lose the co-location guarantee)."""
+    return spark.table(name)

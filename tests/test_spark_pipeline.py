@@ -580,3 +580,64 @@ class TestTranscriptSources:
         # stable turn ordering: turn_idx unique per conv
         dups = t.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1).count()
         assert dups == 0
+
+
+class TestBucketedTables:
+    def test_bucketed_join_is_exchange_free(self, spark, tmp_path):
+        """Two tables written with the same bucket spec join with ZERO
+        Exchange (the pre-shuffled co-located join) and identical results
+        to the shuffled join — the recurring-shuffle eliminator for the
+        mentions x entity-dictionary shape at corpus scale."""
+        import contextlib
+        import io
+        import re
+
+        from pyspark.sql import functions as F2
+
+        from runne_contrastive_ner_spark.sources.tables import (
+            read_bucketed,
+            write_bucketed,
+        )
+
+        mentions = spark.range(4000).select(
+            F2.concat(F2.lit("s"), (F2.col("id") % 111).cast("string")).alias(
+                "surface_norm"
+            ),
+            F2.col("id").alias("mention_id"),
+        )
+        ents = spark.range(111).select(
+            F2.concat(F2.lit("s"), F2.col("id").cast("string")).alias(
+                "surface_norm"
+            ),
+            F2.concat(F2.lit("E"), F2.col("id").cast("string")).alias(
+                "canonical_id"
+            ),
+        )
+        write_bucketed(
+            mentions, "bkt_mentions", str(tmp_path / "bm"),
+            ["surface_norm"], 8, sort_cols=["surface_norm"],
+        )
+        write_bucketed(
+            ents, "bkt_entities", str(tmp_path / "be"),
+            ["surface_norm"], 8, sort_cols=["surface_norm"],
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = read_bucketed(spark, "bkt_mentions").join(
+                read_bucketed(spark, "bkt_entities"), "surface_norm"
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain("formatted")
+            assert len(re.findall(r"\bExchange\b", buf.getvalue())) == 0
+            got = {(r.mention_id, r.canonical_id) for r in j.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS bkt_mentions")
+            spark.sql("DROP TABLE IF EXISTS bkt_entities")
+        want = {
+            (r.mention_id, r.canonical_id)
+            for r in mentions.join(ents, "surface_norm").collect()
+        }
+        assert got == want and len(got) == 4000
