@@ -848,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_shard_packing": ts.shard_packing,
         "ts_corpus_selection": ts.corpus_selection,
         "ts_source_mixture": ts.source_mixture,
+        "ts_token_quantiles": ts.token_quantiles,
         # similarity search (sim_ann_ivf_kmeans_topk was registry slot 51)
         "sim_ann_bruteforce_topk": sim.ann_bruteforce_topk,
         "sim_lsh_buckets": sim.lsh_bucket_assignments,
@@ -865,7 +866,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_features": mm_media_features,
         "mm_frame_sample": mm_frame_sample,
         # dedup family
-        "dd_ngram_jaccard_pairs": dd.ngram_jaccard_pairs,
         "dd_minhash_lsh_candidates": dd.minhash_lsh_candidates,
         "dd_simhash_near_pairs": dd.simhash_near_pairs,
         "dd_embedding_neardup_pairs": dd.embedding_neardup_pairs,
@@ -875,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two dedup intermediates rotated out in r4 to admit kg_triangles /
         # kg_communities into the gate window)
         "dd_exact_dup_stats": dd.exact_dup_stats,
+        "dd_ngram_jaccard_pairs": dd.ngram_jaccard_pairs,
         "dd_minhash_signatures": dd.minhash_signatures,
         "dd_simhash_values": dd.simhash_values,
         "rel_event_type_freqs": rel.event_type_freqs,

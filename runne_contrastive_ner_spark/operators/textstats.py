@@ -481,3 +481,41 @@ def source_mixture(
             F.coalesce("sampled_tokens", F.lit(0)).cast("bigint").alias("sampled_tokens"),
         )
     )
+
+
+QUANTILES_PPM = (250_000, 500_000, 750_000, 900_000, 990_000)
+
+
+def token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-source token-count quantiles (nearest-rank definition:
+    value at rank ceil(q * n)) — no approx_percentile, whose sketch merges
+    are partitioning-dependent and can never pass a value oracle.
+
+    The scale trick: aggregate to the VALUE DOMAIN first (one count per
+    distinct (source, n_tokens) — bounded by document-length diversity, not
+    corpus size), then run the cumulative-rank window over that small
+    table. At 100 TB the groupBy is the only corpus-sized operation; the
+    window sees a few thousand rows per source. Nearest-rank on integers
+    is exactly replayable in SQL."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.size(_toks()).cast("bigint").alias("n_tokens")
+    )
+    dom = docs.groupBy("source", "n_tokens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens")
+    ranked = dom.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("source"))
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum") * F.lit(1_000_000) >= F.col("n") * F.lit(ppm),
+                F.col("n_tokens"),
+            )
+        ).alias(f"p{ppm // 10_000}")
+        for ppm in QUANTILES_PPM
+    ]
+    return ranked.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs_total"), *picks
+    )

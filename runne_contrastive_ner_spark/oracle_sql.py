@@ -738,6 +738,32 @@ TEXTSTATS["ts_source_mixture"] = f"""
     FROM th t LEFT JOIN sampled s ON s.source = t.source
 """
 
+# exact nearest-rank quantiles over the aggregated value domain —
+# mirrors textstats.token_quantiles (cum * 1e6 >= n * ppm pick rule)
+TEXTSTATS["ts_token_quantiles"] = """
+    WITH d AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT
+               AS n_tokens
+      FROM documents
+    ),
+    dom AS (SELECT source, n_tokens, count(*)::BIGINT AS c
+            FROM d GROUP BY source, n_tokens),
+    ranked AS (
+      SELECT source, n_tokens, c,
+             sum(c) OVER (PARTITION BY source ORDER BY n_tokens)::BIGINT AS cum,
+             sum(c) OVER (PARTITION BY source)::BIGINT AS n
+      FROM dom
+    )
+    SELECT source, max(n)::BIGINT AS n_docs_total,
+           min(CASE WHEN cum * 1000000 >= n * 250000 THEN n_tokens END)::BIGINT AS p25,
+           min(CASE WHEN cum * 1000000 >= n * 500000 THEN n_tokens END)::BIGINT AS p50,
+           min(CASE WHEN cum * 1000000 >= n * 750000 THEN n_tokens END)::BIGINT AS p75,
+           min(CASE WHEN cum * 1000000 >= n * 900000 THEN n_tokens END)::BIGINT AS p90,
+           min(CASE WHEN cum * 1000000 >= n * 990000 THEN n_tokens END)::BIGINT AS p99
+    FROM ranked GROUP BY source
+"""
+
 TEXTSTATS["ts_corpus_selection"] = f"""
     WITH RECURSIVE {_SHINGLES_CTE},
     {_MINHASH_BAND_CTES},

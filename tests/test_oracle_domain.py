@@ -242,3 +242,30 @@ def test_source_mixture_sqrt_upweights_small_sources(spark, tmp_path):
     # per-source expectation systematically (hash-uniformity at this n)
     total_sampled = big.sampled_tokens + small.sampled_tokens
     assert 0 < total_sampled < 4 * 400
+
+
+def test_token_quantiles_nearest_rank_exact(spark, tmp_path):
+    """Nearest-rank quantiles against numpy's 'inverted_cdf' on a known
+    distribution, plus the single-doc edge (every quantile = that value)."""
+    import numpy as np
+
+    from runne_contrastive_ner_spark.operators.textstats import token_quantiles
+
+    vals = [1, 2, 2, 3, 5, 8, 13, 21, 34, 100]  # n=10, known ranks
+    rows = [(i, "a", " ".join(["t"] * v)) for i, v in enumerate(vals)]
+    rows.append((99, "solo", "x y z"))
+    sf = str(tmp_path / "tq")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.parquet(sf + "/documents.parquet")
+    out = {r.source: r for r in token_quantiles(spark, sf).collect()}
+    a = out["a"]
+    arr = np.array(sorted(vals))
+    for ppm, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"),
+                     (0.9, "p90"), (0.99, "p99")]:
+        # nearest-rank: value at ceil(q*n)
+        want = int(arr[max(0, int(np.ceil(ppm * len(arr))) - 1)])
+        assert getattr(a, col) == want, (col, getattr(a, col), want)
+    solo = out["solo"]
+    assert (solo.p25, solo.p50, solo.p75, solo.p90, solo.p99) == (3,) * 5
+    assert a.n_docs_total == 10 and solo.n_docs_total == 1
