@@ -1,0 +1,99 @@
+"""Streaming KG deployment surface: file-source Structured Streaming ingest.
+
+``spark-submit --py-files engine.zip jobs/run_streaming_pipeline.py
+--transcripts-dir DIR --warehouse WH`` tails a transcripts parquet
+directory with ``readStream`` (``availableNow`` trigger: drain everything
+currently present, then stop — the restartable batch-of-streams shape),
+runs mention detection per micro-batch through the SAME
+``extract_mentions`` operator the batch pipeline uses (foreachBatch with
+batch_id-keyed overwrite → effectively-once output), then folds the
+accumulated mentions into entities + triples with the batch operators.
+
+Restart semantics: the stream checkpoint remembers which input FILES were
+consumed, so a re-run with no new files processes zero batches and only
+re-derives the (cheap relative to scoring) link/triple fold; dropping new
+parquet files into the directory and re-running processes exactly the new
+files. This is the production tail-ingest loop: the expensive stage is
+incremental, the graph fold is a deterministic function of the
+accumulated mention set.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+
+def run_streaming(spark: SparkSession, transcripts_dir: str, warehouse: str) -> dict:
+    from runne_contrastive_ner_spark.operators.linking import canonicalize
+    from runne_contrastive_ner_spark.operators.predicates import induce_predicates
+    from runne_contrastive_ner_spark.sources.tables import TableIO
+    from runne_contrastive_ner_spark.streaming.incremental import (
+        streaming_mentions,
+    )
+
+    mentions_dir = os.path.join(warehouse, "stream_mentions")
+    checkpoint_dir = os.path.join(warehouse, "_stream_checkpoint")
+
+    def batch_dirs() -> set[str]:
+        if not os.path.isdir(mentions_dir):
+            return set()
+        return {d for d in os.listdir(mentions_dir) if d.startswith("batch=")}
+
+    before = batch_dirs()
+    q = streaming_mentions(spark, transcripts_dir, mentions_dir, checkpoint_dir)
+    q.awaitTermination()
+    after = batch_dirs()
+    if not after:
+        return {"mentions": 0, "entities": 0, "triples": 0,
+                "batches": 0, "new_batches": 0}
+
+    # the session caches leaf-file listings per path (InMemoryFileIndex):
+    # without the refresh, a second run in the same session folds only the
+    # batches that existed at first read and silently drops the new ones
+    spark.catalog.refreshByPath(mentions_dir)
+    mentions = spark.read.parquet(mentions_dir).drop("batch_id")
+    registry: list = []
+    entities, _, linked = canonicalize(
+        spark, mentions, persist_registry=registry
+    )
+    triples = induce_predicates(linked, k=2, entity_col="entity_id")
+    io = TableIO(spark, warehouse)
+    io.write(entities.withColumn("types", F.concat_ws(",", "types")), "entities")
+    io.write(triples, "triples")
+    out = {
+        "mentions": mentions.count(),
+        "entities": io.read("entities").count(),
+        "triples": io.read("triples").count(),
+        "batches": len(after),
+        "new_batches": len(after - before),
+    }
+    for df in registry:
+        df.unpersist()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--transcripts-dir", required=True,
+                    help="parquet directory to tail (readStream file source)")
+    ap.add_argument("--warehouse", required=True)
+    args = ap.parse_args()
+
+    from runne_contrastive_ner_spark.session import build_session
+
+    spark = build_session(app_name="kg-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    stats = run_streaming(spark, args.transcripts_dir, args.warehouse)
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

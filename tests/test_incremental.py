@@ -187,3 +187,49 @@ class TestSkewBalance:
         # unsalted, the long conversation (400 of 440 rows) would land in one
         # partition; salted, no partition may hold even half the rows
         assert biggest < total / 2
+
+
+def test_streaming_job_tail_ingest(spark, tmp_path):
+    """The streaming deployment surface (jobs/run_streaming_pipeline.py):
+    drain-what's-there (availableNow), restart picks up ONLY new files via
+    the stream checkpoint, a no-new-files restart processes zero batches,
+    and the folded triple set equals the batch pipeline over the union."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from run_streaming_pipeline import run_streaming
+
+    from runne_contrastive_ner_spark.operators.linking import canonicalize
+    from runne_contrastive_ner_spark.operators.mentions import extract_mentions
+    from runne_contrastive_ner_spark.operators.predicates import (
+        induce_predicates,
+    )
+    from runne_contrastive_ner_spark.sources.transcripts import synthesize
+
+    tdir = str(tmp_path / "tail_transcripts")
+    wh = str(tmp_path / "stream_wh")
+    t1 = synthesize(spark, n_convs=3, turns_per_conv=5)
+    t1.write.parquet(tdir)
+
+    s1 = run_streaming(spark, tdir, wh)
+    assert s1["new_batches"] >= 1 and s1["mentions"] > 0
+
+    # drop new files: a second synthesized slice with disjoint conv ids
+    t2 = synthesize(spark, n_convs=2, turns_per_conv=4).withColumn(
+        "conv_id", F.concat(F.lit("late-"), F.col("conv_id"))
+    )
+    t2.write.mode("append").parquet(tdir)
+    s2 = run_streaming(spark, tdir, wh)
+    assert s2["new_batches"] >= 1
+    assert s2["mentions"] > s1["mentions"]
+
+    # idle restart: checkpoint says nothing new -> zero new batches
+    s3 = run_streaming(spark, tdir, wh)
+    assert s3["new_batches"] == 0
+    assert s3["mentions"] == s2["mentions"]
+
+    # equivalence with the batch path over the full accumulated input
+    allt = spark.read.parquet(tdir)
+    _, _, linked = canonicalize(spark, extract_mentions(allt))
+    want = induce_predicates(linked, k=2, entity_col="entity_id").count()
+    assert s3["triples"] == want
