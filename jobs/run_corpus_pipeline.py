@@ -1,6 +1,7 @@
 """spark-submit entry point for the training-corpus pipeline: near-dup
 clusters → corpus selection (lang ∧ quality ∧ survivor) → shard packing of
-the selected documents.
+the selected documents → per-source mixing weights + exact token-length
+quantiles (the curator's corpus profile).
 
     zip -r /tmp/engine.zip runne_contrastive_ner_spark
     spark-submit --py-files /tmp/engine.zip jobs/run_corpus_pipeline.py \
@@ -22,6 +23,8 @@ from runne_contrastive_ner_spark.operators.dedup import dedup_clusters
 from runne_contrastive_ner_spark.operators.textstats import (
     corpus_selection,
     shard_packing,
+    source_mixture,
+    token_quantiles,
 )
 from runne_contrastive_ner_spark.plans.manifest import StageRunner, fingerprint
 from runne_contrastive_ner_spark.sources.tables import TableIO
@@ -66,6 +69,19 @@ def main() -> None:
         ),
         partition_cols=["source"],
         lineage_key="shard_idx",
+    )
+    # corpus-profile stages: per-source mixing weights + exact length
+    # quantiles — the numbers a data curator reads before launching a
+    # training run (both one-row-per-source aggregates; cheap, resumable)
+    runner.run(
+        "source_mixture",
+        fingerprint("source_mixture", base_fp),
+        lambda: source_mixture(spark, args.sf_dir),
+    )
+    runner.run(
+        "token_quantiles",
+        fingerprint("token_quantiles", base_fp),
+        lambda: token_quantiles(spark, args.sf_dir),
     )
     print(json.dumps({"stages": {k: vars(v) for k, v in runner.metrics.items()}}))
     spark.stop()
