@@ -53,11 +53,41 @@ def cooccurrence_edges(triples: DataFrame) -> DataFrame:
     )
 
 
+SMALL_GRAPH_EDGES = 100_000
+
+
+def _pagerank_local(
+    edges: list[tuple[str, str]],
+    iterations: int,
+    damping_pct: int,
+    scale: int,
+) -> dict[str, int]:
+    """Driver-side mirror of the distributed iterations — the SAME
+    quantized-integer operations (sum of floor-divided contributions is
+    order-independent), so the two paths are bit-identical by
+    construction (asserted in tests/test_graph.py)."""
+    deg: dict[str, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(deg)
+    if n == 0:
+        return {}
+    base = (scale * (100 - damping_pct) // 100) // n
+    pr = {s: scale // n for s in deg}
+    for _ in range(iterations):
+        sums: dict[str, int] = {}
+        for s, d in edges:
+            sums[d] = sums.get(d, 0) + pr[s] // deg[s]
+        pr = {s: base + (damping_pct * sums.get(s, 0)) // 100 for s in deg}
+    return pr
+
+
 def pagerank(
     nbrs: DataFrame,
     iterations: int = 3,
     damping_pct: int = 85,
     scale: int = SCALE,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """PageRank over a symmetrized edge list ``(src, dst)``.
 
@@ -65,6 +95,14 @@ def pagerank(
     shape kg_two_hop/kg_entity_degrees already build); every node then has
     out-degree >= 1, so there is no dangling-mass redistribution term.
     ``damping_pct`` is the damping factor in integer percent (85 = 0.85).
+
+    Hybrid strategy (components.py discipline): a graph under
+    ``small_graph_edges`` is solved driver-side with the identical integer
+    arithmetic — every distributed iteration on a tiny graph is pure
+    scheduler overhead (measured ~2s of fixed cost at 33 nodes) — while
+    larger graphs run the two-shuffle-per-iteration distributed loop. The
+    quantized ops make the paths bit-identical, so the cutover is purely a
+    latency decision.
 
     Returns ``(src, pr_q)`` where ``pr_q`` is the quantized rank in
     ``scale`` units of total mass (sum over nodes <= scale; the shortfall
@@ -75,6 +113,16 @@ def pagerank(
     # derivation would be replayed O(iterations) times in the physical plan
     # (same rationale as components.py's checkpoint cadence)
     nbrs = nbrs.localCheckpoint(eager=True)
+    n_edges = nbrs.count()  # cheap: counts the checkpointed RDD
+    if n_edges <= small_graph_edges:
+        edges = [(r[0], r[1]) for r in nbrs.collect()]  # bounded by contract
+        pr = _pagerank_local(edges, iterations, damping_pct, scale)
+        spark = nbrs.sparkSession
+        if not pr:
+            return spark.createDataFrame([], "src string, pr_q long")
+        return spark.createDataFrame(
+            sorted(pr.items()), "src string, pr_q long"
+        )
     deg = nbrs.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     n = deg.count()  # bounded scalar: one number for the teleport term
     if n == 0:
@@ -97,7 +145,34 @@ def pagerank(
     return pr.select("src", "pr_q")
 
 
-def triangle_counts(nbrs: DataFrame) -> DataFrame:
+def _triangles_local(sym_edges: list[tuple[str, str]]) -> dict[str, int]:
+    """Driver-side mirror of the degree-ordered enumeration."""
+    deg: dict[str, int] = {}
+    adj: dict[str, set] = {}
+    for s, d in sym_edges:
+        deg[s] = deg.get(s, 0) + 1
+        adj.setdefault(s, set()).add(d)
+    order = {n: (deg[n], n) for n in deg}
+    out_sets = {
+        n: {m for m in adj[n] if order[n] < order[m]} for n in adj
+    }
+    counts: dict[str, int] = {}
+    for a, outs in out_sets.items():
+        # pairs must follow the ORIENTATION order (deg, id): the closing
+        # edge b->c exists in out(b) only when order[b] < order[c]
+        ordered = sorted(outs, key=lambda m: order[m])
+        for i, b in enumerate(ordered):
+            ob = out_sets[b]
+            for c in ordered[i + 1 :]:
+                if c in ob:
+                    for node in (a, b, c):
+                        counts[node] = counts.get(node, 0) + 1
+    return counts
+
+
+def triangle_counts(
+    nbrs: DataFrame, small_graph_edges: int = SMALL_GRAPH_EDGES
+) -> DataFrame:
     """Per-node triangle participation over a symmetrized edge list —
     degree-ordered orientation (the standard O(m^1.5) distributed scheme:
     orient each undirected edge from the (degree, id)-smaller endpoint to
@@ -112,8 +187,20 @@ def triangle_counts(nbrs: DataFrame) -> DataFrame:
     oracle replays the identical construction.
 
     Returns ``(src, n_triangles)`` for nodes in >= 1 triangle.
+
+    Hybrid strategy: graphs under ``small_graph_edges`` run the identical
+    degree-ordered enumeration driver-side (integer counts — the paths are
+    equal by construction; asserted in tests), larger graphs the join form.
     """
     nbrs = nbrs.localCheckpoint(eager=True)
+    if nbrs.count() <= small_graph_edges:
+        spark = nbrs.sparkSession
+        counts = _triangles_local([(r[0], r[1]) for r in nbrs.collect()])
+        if not counts:
+            return spark.createDataFrame([], "src string, n_triangles long")
+        return spark.createDataFrame(
+            sorted(counts.items()), "src string, n_triangles long"
+        )
     deg = nbrs.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     und = nbrs.filter(F.col("src") < F.col("dst"))
     da = deg.select(F.col("src").alias("u"), F.col("deg").alias("dega"))
@@ -145,7 +232,32 @@ def triangle_counts(nbrs: DataFrame) -> DataFrame:
     )
 
 
-def label_propagation(nbrs: DataFrame, iterations: int = 4) -> DataFrame:
+def _label_prop_local(
+    sym_edges: list[tuple[str, str]], iterations: int
+) -> dict[str, str]:
+    """Driver-side mirror of the synchronous rounds."""
+    adj: dict[str, list] = {}
+    for s, d in sym_edges:
+        adj.setdefault(d, []).append(s)
+    lab = {n: n for n in adj}
+    for _ in range(iterations):
+        nxt = {}
+        for n, srcs in adj.items():
+            cnt: dict[str, int] = {}
+            for m in srcs:
+                l = lab[m]
+                cnt[l] = cnt.get(l, 0) + 1
+            top = max(cnt.values())
+            nxt[n] = min(l for l, c in cnt.items() if c == top)
+        lab = nxt
+    return lab
+
+
+def label_propagation(
+    nbrs: DataFrame,
+    iterations: int = 4,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
+) -> DataFrame:
     """Synchronous label-propagation communities (Raghavan et al. 2007)
     made deterministic: every node starts labeled with itself; each round
     every node adopts its neighbors' most frequent label, ties broken by
@@ -159,10 +271,24 @@ def label_propagation(nbrs: DataFrame, iterations: int = 4) -> DataFrame:
     (node, label) + one per-node top-1 window — all keyed on node ids.
 
     Returns ``(src, community)``.
+
+    Hybrid strategy: under ``small_graph_edges`` the identical synchronous
+    rounds run driver-side (most-frequent + min tie-break is a pure
+    function of the labeling — equal by construction; asserted in tests).
     """
     from pyspark.sql import Window
 
     nbrs = nbrs.localCheckpoint(eager=True)
+    if nbrs.count() <= small_graph_edges:
+        spark = nbrs.sparkSession
+        lab_map = _label_prop_local(
+            [(r[0], r[1]) for r in nbrs.collect()], iterations
+        )
+        if not lab_map:
+            return spark.createDataFrame([], "src string, community string")
+        return spark.createDataFrame(
+            sorted(lab_map.items()), "src string, community string"
+        )
     lab = nbrs.select("src").distinct().withColumn("lab", F.col("src"))
     pick = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
     for _ in range(iterations):

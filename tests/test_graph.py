@@ -37,18 +37,41 @@ class TestPageRank:
     ]
 
     def test_matches_integer_replay_exactly(self, spark):
+        # forced-distributed path (small_graph_edges=0): the shuffled
+        # iterations must equal the python integer replay
         got = {
-            r.src: r.pr_q for r in pagerank(_to_df(spark, self.EDGES)).collect()
+            r.src: r.pr_q
+            for r in pagerank(
+                _to_df(spark, self.EDGES), small_graph_edges=0
+            ).collect()
         }
         assert got == _pagerank_local(self.EDGES)
+
+    def test_driver_fast_path_equals_distributed(self, spark):
+        """Hybrid cutover (components.py discipline): the default
+        small-graph driver path and the forced-distributed path are
+        bit-identical — the cutover is purely a latency decision."""
+        df = _to_df(spark, self.EDGES)
+        fast = {r.src: r.pr_q for r in pagerank(df).collect()}
+        dist = {
+            r.src: r.pr_q
+            for r in pagerank(df, small_graph_edges=0).collect()
+        }
+        assert fast == dist
 
     def test_parallelism_invariant(self, spark):
         """The determinism claim itself: 1-partition and 16-partition runs
         produce identical BIGINT ranks (a float PageRank would differ in
         the low bits across shuffle orders)."""
         df = _to_df(spark, self.EDGES)
-        one = {r.src: r.pr_q for r in pagerank(df.coalesce(1)).collect()}
-        many = {r.src: r.pr_q for r in pagerank(df.repartition(16)).collect()}
+        one = {
+            r.src: r.pr_q
+            for r in pagerank(df.coalesce(1), small_graph_edges=0).collect()
+        }
+        many = {
+            r.src: r.pr_q
+            for r in pagerank(df.repartition(16), small_graph_edges=0).collect()
+        }
         assert one == many
 
     def test_star_hub_ranks_highest_and_mass_conserved(self, spark):
@@ -151,11 +174,16 @@ class TestTriangles:
             tuple(sorted(rng.sample(nodes, 2)))
             for _ in range(90)
         }
-        got = {
-            r.src: r.n_triangles
-            for r in triangle_counts(_sym(spark, und)).collect()
+        sym = _sym(spark, und)
+        fast = {
+            r.src: r.n_triangles for r in triangle_counts(sym).collect()
         }
-        assert got == _triangles_brute(und)
+        dist = {
+            r.src: r.n_triangles
+            for r in triangle_counts(sym, small_graph_edges=0).collect()
+        }
+        # driver fast path == distributed join path == brute force
+        assert fast == dist == _triangles_brute(und)
 
     def test_k4_counts(self, spark):
         """Complete graph on 4 nodes: each node sits in C(3,2)=3 triangles."""
@@ -222,11 +250,17 @@ class TestLabelPropagation:
         nodes = [f"v{i:02d}" for i in range(20)]
         und = {tuple(sorted(rng.sample(nodes, 2))) for _ in range(45)}
         sym = _sym(spark, und)
-        got1 = {
+        fast = {
             r.src: r.community for r in label_propagation(sym, 4).collect()
         }
-        got2 = {
+        dist1 = {
             r.src: r.community
-            for r in label_propagation(sym.repartition(7), 4).collect()
+            for r in label_propagation(sym, 4, small_graph_edges=0).collect()
         }
-        assert got1 == got2 == _label_prop_brute(und, 4)
+        dist2 = {
+            r.src: r.community
+            for r in label_propagation(
+                sym.repartition(7), 4, small_graph_edges=0
+            ).collect()
+        }
+        assert fast == dist1 == dist2 == _label_prop_brute(und, 4)
