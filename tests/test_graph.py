@@ -168,22 +168,23 @@ class TestTriangles:
 
         from runne_contrastive_ner_spark.operators.graph import triangle_counts
 
-        rng = random.Random(41)
         nodes = [f"n{i:02d}" for i in range(24)]
-        und = {
-            tuple(sorted(rng.sample(nodes, 2)))
-            for _ in range(90)
-        }
-        sym = _sym(spark, und)
-        fast = {
-            r.src: r.n_triangles for r in triangle_counts(sym).collect()
-        }
-        dist = {
-            r.src: r.n_triangles
-            for r in triangle_counts(sym, small_graph_edges=0).collect()
-        }
-        # driver fast path == distributed join path == brute force
-        assert fast == dist == _triangles_brute(und)
+        for seed in (41, 42, 1337):
+            rng = random.Random(seed)
+            und = {
+                tuple(sorted(rng.sample(nodes, 2)))
+                for _ in range(90)
+            }
+            sym = _sym(spark, und)
+            fast = {
+                r.src: r.n_triangles for r in triangle_counts(sym).collect()
+            }
+            dist = {
+                r.src: r.n_triangles
+                for r in triangle_counts(sym, small_graph_edges=0).collect()
+            }
+            # driver fast path == distributed join path == brute force
+            assert fast == dist == _triangles_brute(und), seed
 
     def test_k4_counts(self, spark):
         """Complete graph on 4 nodes: each node sits in C(3,2)=3 triangles."""
