@@ -77,11 +77,18 @@ def detect_mentions_in_text(
         # all-O (see Scorer.score_pieces_active) — the exact fast path
         active = score_windows_active(scorer, pieces, words=words)
         emits_proba = getattr(scorer, "emits_proba", False)
+        transitions = None  # shared across type planes (shape-only)
         for t_idx, plane in active.items():
             proba = plane if emits_proba else softmax(plane, axis=-1)
             if np.all(proba[:, O] / 3.0 > proba[:, 1:].max(axis=1)):
                 continue
-            spans = decode_entity_spans(proba, words)
+            if transitions is None:
+                from runne_contrastive_ner_spark.functions.decode import (
+                    word_transition_stack,
+                )
+
+                transitions = word_transition_stack(words)
+            spans = decode_entity_spans(proba, words, transitions=transitions)
             etype = scorer.entity_types[t_idx]
             for c0, c1 in subtoken_spans_to_char_spans(spans, bounds):
                 out.append((etype, s_start + c0, s_start + c1))
