@@ -435,6 +435,13 @@ def source_mixture(
     sampling is a stateless hash: no RNG, no ordering, restart-safe — at
     100 TB the only aggregate is one row per source (broadcast back).
 
+    Integer headroom: the threshold numerator is budget * q * 1e6 with
+    q ~ sqrt(T_s)*1000, so BIGINT holds while budget * sqrt(T_s) < ~9e9 —
+    e.g. a 1e6-token budget against 1e7-token sources uses ~3e15 of the
+    9.2e18 range. For trillion-token budgets drop MIXTURE_PPM a few
+    orders or move the one threshold expression to DECIMAL(38,0) (both
+    engines support it); membership hashing is unaffected.
+
     Returns one row per source: totals, weight, threshold, and what the
     sample actually drew."""
     from runne_contrastive_ner_spark.functions.hashing import spark_md5_int_sql
@@ -495,8 +502,12 @@ def token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (source, n_tokens) — bounded by document-length diversity, not
     corpus size), then run the cumulative-rank window over that small
     table. At 100 TB the groupBy is the only corpus-sized operation; the
-    window sees a few thousand rows per source. Nearest-rank on integers
-    is exactly replayable in SQL."""
+    per-source window input is bounded by the maximum document length
+    (every row is a DISTINCT token count), so even a pathological 1e6-row
+    source domain is a trivial single cum-sum task — unlike a
+    corpus-sized per-source window, which would serialize the scan
+    (the ts_shard_packing r3 lesson). Nearest-rank on integers is exactly
+    replayable in SQL."""
     docs = load(spark, sf_dir, "documents").select(
         "source", F.size(_toks()).cast("bigint").alias("n_tokens")
     )
