@@ -144,6 +144,16 @@ def embedding_edges(
 BIGRAM_DIM = 32
 BIGRAM_DF_CAP = 1000
 BIGRAM_THRESHOLD = 0.72
+# LSH-candidate knobs for the dictionary-scale path, chosen empirically on
+# a 10k-surface corpus at dim=128 (the dim the scale path runs at — see
+# the candidates="lsh" docstring): 16 tables × 12 planes over CENTERED
+# vectors with 1-bit multi-probe → measured recall 0.974 of all true
+# pairs at candidate volume ≈6% of all-pairs. Fewer planes push volume
+# toward quadratic (4 planes = 16 buckets ≈ n²/16 per table); more planes
+# without probing push recall below 0.9.
+BIGRAM_LSH_TABLES = 16
+BIGRAM_LSH_PLANES = 12
+BIGRAM_LSH_DIM = 128
 
 
 def bigram_embedding_edges(
@@ -151,6 +161,7 @@ def bigram_embedding_edges(
     threshold: float = BIGRAM_THRESHOLD,
     dim: int = BIGRAM_DIM,
     df_cap: int = BIGRAM_DF_CAP,
+    candidates: str = "bigram",
 ) -> DataFrame:
     """Contrastive-linking edges from a PORTABLE surface embedding: the
     hashed character-bigram count vector (dim buckets, '^'/'$' padded), with
@@ -162,14 +173,38 @@ def bigram_embedding_edges(
     integers, and the only floating-point op is one division by one sqrt,
     so the threshold compare is bit-identical across engines.
 
-    Candidates come from shared-EXACT-bigram blocking (equi-join on the
-    bigram, distinct-pair), with a document-frequency cap on hot bigrams —
-    the same df-cap discipline as the n-gram Jaccard dedup operator. The
-    recall contract is explicit: a pair whose every shared bigram exceeds
-    ``df_cap`` is not a candidate (at 100 TB hot bigrams like 'e ' would
-    otherwise fan out quadratically); at the linking threshold a qualifying
-    pair shares several bigrams, so a rare one almost surely survives the
-    cap. Everything is JVM-side builtin expressions — no Python UDF."""
+    Candidate generation (``candidates=``):
+
+    ``"bigram"`` (default, the oracle-verified path): shared-EXACT-bigram
+    blocking (equi-join on the bigram, distinct-pair), with a
+    document-frequency cap on hot bigrams — the same df-cap discipline as
+    the n-gram Jaccard dedup operator. The recall contract is explicit: a
+    pair whose every shared bigram exceeds ``df_cap`` is not a candidate
+    (at 100 TB hot bigrams like 'e ' would otherwise fan out
+    quadratically); at the linking threshold a qualifying pair shares
+    several bigrams, so a rare one almost surely survives the cap — BUT at
+    a 10^7-surface dictionary most bigrams blow any workable cap, and
+    every qualifying pair whose shared bigrams are ALL hot is silently
+    dropped (VERDICT r4 item 4).
+
+    ``"lsh"`` (the dictionary-scale path): multi-table sign-LSH candidates
+    (similarity.lsh_candidate_pairs — a pure (table, bucket) equi-join,
+    fan-out bounded by bucket population, no per-bigram hot key), followed
+    by the IDENTICAL exact integer dot re-rank. Two adaptations make
+    sign-LSH actually work on bigram count vectors: (a) the vectors are
+    CENTERED before hashing (exact integer per-dimension sums → one
+    broadcast mean; raw count vectors live in the positive orthant where
+    every sign hash agrees and buckets collapse), and (b) one-bit
+    multi-probe keeps recall high at 12 planes per table (small buckets —
+    the only regime that scales). Run this path at ``dim=BIGRAM_LSH_DIM``
+    (128): at dim=32 the bucketed vectors are so coarse that ~96% of
+    0.72-cosine "pairs" are bucket-collision artifacts and NO candidate
+    scheme is subquadratic; at dim=128 measured recall is 0.974 at ≈6% of
+    all-pairs candidate volume (tests/test_linking_embedding.py). Not the
+    oracle default only because DuckDB would have to replay 192 hyperplane
+    dot products per surface.
+
+    Everything is JVM-side builtin expressions — no Python UDF."""
     md5b = spark_md5_int_sql("b")
     base = nodes.select(
         "surface_norm",
@@ -195,25 +230,60 @@ def bigram_embedding_edges(
             "n2", F.expr("aggregate(vec, 0L, (a, x) -> a + x * x)")
         )
     )
-    # blocking: distinct bigrams, df-capped, self equi-join
-    bgd = base.select(
-        "surface_norm", F.explode(F.array_distinct("bgs")).alias("b")
-    )
-    dfc = bgd.groupBy("b").agg(F.count(F.lit(1)).alias("df"))
-    bgd_ok = bgd.join(dfc.filter(F.col("df") <= df_cap), "b")
-    x, y = bgd_ok.alias("x"), bgd_ok.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.b") == F.col("y.b"))
-            & (F.col("x.surface_norm") < F.col("y.surface_norm")),
+    if candidates == "bigram":
+        # blocking: distinct bigrams, df-capped, self equi-join
+        bgd = base.select(
+            "surface_norm", F.explode(F.array_distinct("bgs")).alias("b")
         )
-        .select(
-            F.col("x.surface_norm").alias("src"),
-            F.col("y.surface_norm").alias("dst"),
+        dfc = bgd.groupBy("b").agg(F.count(F.lit(1)).alias("df"))
+        bgd_ok = bgd.join(dfc.filter(F.col("df") <= df_cap), "b")
+        x, y = bgd_ok.alias("x"), bgd_ok.alias("y")
+        cand = (
+            x.join(
+                y,
+                (F.col("x.b") == F.col("y.b"))
+                & (F.col("x.surface_norm") < F.col("y.surface_norm")),
+            )
+            .select(
+                F.col("x.surface_norm").alias("src"),
+                F.col("y.surface_norm").alias("dst"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+    elif candidates == "lsh":
+        from .similarity import lsh_candidate_pairs
+
+        # center before sign-hashing: per-dimension means from EXACT integer
+        # sums (one single-row aggregate, a bounded scalar collect), so the
+        # centered vectors — and every downstream sign — are deterministic
+        sums = vecs.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.element_at("vec", i + 1)).alias(f"_s{i}")
+                for i in range(dim)
+            ],
+        ).collect()[0]
+        n_rows = max(int(sums["_n"]), 1)
+        mean_lit = (
+            "array("
+            + ",".join(repr(int(sums[f"_s{i}"] or 0) / n_rows) for i in range(dim))
+            + ")"
+        )
+        centered = vecs.select(
+            F.col("surface_norm").alias("vec_id"),
+            F.expr(
+                f"zip_with(vec, {mean_lit}, (x, m) -> CAST(x AS DOUBLE) - m)"
+            ).alias("v"),
+        )
+        cand = lsh_candidate_pairs(
+            centered,
+            n_tables=BIGRAM_LSH_TABLES,
+            n_planes=BIGRAM_LSH_PLANES,
+            dim=dim,
+            probe_bits=1,
+        ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    else:
+        raise ValueError(f"unknown candidates source {candidates!r}")
     va = vecs.select(
         F.col("surface_norm").alias("src"),
         F.col("vec").alias("va"),
@@ -244,6 +314,7 @@ def canonicalize(
     use_embedding_edges: bool = False,
     embedding_threshold: float | None = None,
     embedding_method: str = "lsh",
+    bigram_candidates: str = "bigram",
     persist_registry: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """→ (entities, edges, mentions_with_canonical_id).
@@ -286,7 +357,11 @@ def canonicalize(
         # 'fast table' style paraphrases link but unrelated surfaces don't)
         if embedding_method == "bigram":
             thr = BIGRAM_THRESHOLD if embedding_threshold is None else embedding_threshold
-            emb = bigram_embedding_edges(nodes, threshold=thr)
+            # bigram_candidates="lsh" switches to the dictionary-scale
+            # sign-LSH candidate source (same exact integer re-rank)
+            emb = bigram_embedding_edges(
+                nodes, threshold=thr, candidates=bigram_candidates
+            )
         else:
             thr = 0.9 if embedding_threshold is None else embedding_threshold
             emb = embedding_edges(nodes, thr, method=embedding_method)

@@ -141,11 +141,31 @@ def lsh_candidate_pairs(
     n_tables: int = N_TABLES,
     n_planes: int = PLANES_PER_TABLE,
     dim: int = DIM,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """(vec_a, vec_b) distinct candidate pairs sharing a bucket in ANY table
-    — pure equi-join on (tbl, bucket); no quadratic stage."""
+    — pure equi-join on (tbl, bucket); no quadratic stage.
+
+    ``probe_bits=1`` enables multi-probe: one side additionally probes every
+    bucket at Hamming distance 1 (flip each of the ``n_planes`` sign bits),
+    so a true pair survives a table when AT MOST ONE plane disagrees —
+    recall per table rises from p^k to p^k + k·p^(k-1)(1-p) at the cost of
+    (k+1)× probe rows on one join side. This is the standard recall knob
+    that lets k stay LARGE (small, well-separated buckets — the only regime
+    that scales) without paying for it in missed pairs."""
     bk = multitable_lsh_buckets(emb, n_tables, n_planes, dim)
-    x = bk.alias("x")
+    if probe_bits == 0:
+        probed = bk
+    elif probe_bits == 1:
+        flips = ",".join(f"bucket ^ {1 << i}L" for i in range(n_planes))
+        probed = bk.select(
+            "vec_id",
+            "tbl",
+            F.explode(F.expr(f"array(bucket, {flips})")).alias("bucket"),
+        )
+    else:
+        raise ValueError("probe_bits must be 0 or 1")
+    x = probed.alias("x")
     y = bk.alias("y")
     return (
         x.join(

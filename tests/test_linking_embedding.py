@@ -165,3 +165,69 @@ def test_driver_corpus_has_an_embedding_only_merge(spark):
     assert set(plain) == set(emb)
     extra = {s for s in plain if emb[s] != plain[s]}
     assert extra, "embedding edges produced no merge beyond the alias list"
+
+
+def test_lsh_candidates_recall_at_dictionary_scale(spark):
+    """VERDICT r4 item 4: the bigram df-cap blocking silently drops pairs
+    whose every shared bigram is hot — at a 10^7-surface dictionary most
+    bigrams blow the cap. candidates='lsh' (centered sign-LSH + 1-bit
+    multi-probe + the SAME exact integer re-rank) must recover ≥95% of the
+    all-pairs ground truth on a 10k-surface corpus at the scale dim (128),
+    and — because the re-rank is exact — emit NO pair below threshold."""
+    import random
+    import string
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from runne_contrastive_ner_spark.operators.linking import BIGRAM_LSH_DIM
+
+    dim, thr = BIGRAM_LSH_DIM, BIGRAM_THRESHOLD
+    rng = random.Random(7)
+
+    def word():
+        return "".join(
+            rng.choice(string.ascii_lowercase) for _ in range(rng.randint(4, 9))
+        )
+
+    vocab = [word() for _ in range(4000)]
+    surfaces = set()
+    while len(surfaces) < 7000:
+        surfaces.add(" ".join(rng.sample(vocab, rng.randint(1, 3))))
+    for s in sorted(surfaces)[:3000]:
+        kind = rng.randint(0, 2)
+        if kind == 0:
+            surfaces.add(s + "s")
+        elif kind == 1:
+            surfaces.add(s + " " + s.split()[0])
+        else:
+            surfaces.add(s + " co")
+    surfaces = sorted(surfaces)[:10000]
+    n = len(surfaces)
+
+    # all-pairs ground truth with the engine's exact arithmetic: integer
+    # dot (exact in float64 — counts are tiny) / sqrt of integer norms
+    V = np.stack([_py_bigram_vec(s, dim) for s in surfaces]).astype(np.float64)
+    n2 = (V * V).sum(1)
+    truth = set()
+    for i0 in range(0, n, 1000):
+        C = (V[i0 : i0 + 1000] @ V.T) / np.sqrt(np.outer(n2[i0 : i0 + 1000], n2))
+        for a, b in zip(*np.where(C >= thr)):
+            if i0 + a < b:
+                truth.add((surfaces[i0 + int(a)], surfaces[int(b)]))
+    assert len(truth) > 2000  # the corpus plants real near-dup structure
+
+    nodes = spark.createDataFrame(
+        [(s,) for s in surfaces], "surface_norm string"
+    ).repartition(8)
+    got = {
+        tuple(r)
+        for r in bigram_embedding_edges(
+            nodes, dim=dim, candidates="lsh"
+        ).collect()
+    }
+    # exact re-rank: zero false positives
+    assert got <= truth
+    recall = len(got) / len(truth)
+    assert recall >= 0.95, f"LSH recall {recall:.4f} < 0.95 ({len(got)}/{len(truth)})"
