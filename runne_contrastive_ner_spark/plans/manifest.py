@@ -89,6 +89,7 @@ class StageRunner:
         build: "callable[[], DataFrame]",
         partition_cols: list[str] | None = None,
         lineage_key: str | None = None,
+        bucket_spec: dict | None = None,
     ) -> DataFrame:
         path = self.io.path(stage)
         existing = load_manifest(path)
@@ -99,7 +100,7 @@ class StageRunner:
             return self.io.read(stage)
         t0 = time.time()
         df = build()
-        self.io.write(df, stage, partition_cols=partition_cols)
+        self.io.write(df, stage, partition_cols=partition_cols, bucket_spec=bucket_spec)
         out = self.io.read(stage)
         mf = StageManifest(
             stage=stage,
@@ -147,6 +148,13 @@ def compact_stage(
         # idempotent: an already-compacted stage (and a resume-skipped one —
         # recomputation rewrites the manifest and clears the flag) is a
         # no-op, not a second full-table rewrite
+        return mf
+    spec_probe = getattr(io, "data_path", None)
+    if spec_probe is not None and os.path.exists(
+        os.path.join(io.data_path(stage), "_bucketspec.json")
+    ):
+        # a bucketed snapshot already has exactly n_buckets files AND carries
+        # co-location metadata a plain rewrite would destroy — leave it
         return mf
     df = io.read(stage)
     if partition_col is not None:

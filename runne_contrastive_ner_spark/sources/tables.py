@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -121,7 +122,45 @@ class TableIO:
             raise FileNotFoundError(f"table {table!r} has no snapshot yet")
         return os.path.join(self.path(table), f"v{v:06d}")
 
-    def write(self, df: DataFrame, table: str, partition_cols: list[str] | None = None, mode: str = "overwrite") -> None:
+    # --- bucketed snapshots -------------------------------------------------
+    # bucket_spec = {"cols": [...], "n": int, "sort": [...]} clusters the
+    # snapshot on the join key at write time (one shuffle, paid once) so
+    # every subsequent fold over the re-read table joins/aggregates on that
+    # key with ZERO Exchange — the resume path otherwise re-pays those
+    # shuffles on every re-run (VERDICT r4 item 2). On Iceberg this maps to
+    # a bucket(cols, n) partition transform; the Parquet fallback writes
+    # through saveAsTable into the snapshot dir and records the spec in
+    # _bucketspec.json so a NEW session can re-register the external table
+    # (CREATE TABLE ... CLUSTERED BY ... LOCATION) and recover co-location.
+
+    def _bucket_table_name(self, table: str, version: int) -> str:
+        from ..functions.hashing import md5_int
+
+        wh = format(md5_int(os.path.abspath(self.warehouse)), "x")[:8]
+        return f"kg_bkt_{wh}_{table}_v{version}"
+
+    def _register_bucketed(self, table: str, version: int) -> str | None:
+        """Ensure the catalog knows the bucketed snapshot; → table name."""
+        import json
+
+        target = self.data_path(table, version)
+        spec_path = os.path.join(target, "_bucketspec.json")
+        if not os.path.exists(spec_path):
+            return None
+        with open(spec_path) as f:
+            spec = json.load(f)
+        name = self._bucket_table_name(table, version)
+        if not self.spark.catalog.tableExists(name):
+            sort = spec.get("sort") or spec["cols"]
+            self.spark.sql(
+                f"CREATE TABLE {name} ({spec['schema_ddl']}) USING PARQUET "
+                f"CLUSTERED BY ({', '.join(spec['cols'])}) "
+                f"SORTED BY ({', '.join(sort)}) "
+                f"INTO {spec['n']} BUCKETS LOCATION '{target}'"
+            )
+        return name
+
+    def write(self, df: DataFrame, table: str, partition_cols: list[str] | None = None, mode: str = "overwrite", bucket_spec: dict | None = None) -> None:
         if self.use_iceberg:  # pragma: no cover
             writer = df.writeTo(f"local.db.{table}")
             if mode == "overwrite":
@@ -145,24 +184,69 @@ class TableIO:
         cur = self.current_version(table)
         v = 0 if cur is None else cur + 1
         target = self.data_path(table, v)
-        writer = df.write.mode("overwrite")  # target dir is always fresh
-        if partition_cols:
-            writer = writer.partitionBy(*partition_cols)
-        writer.parquet(target)
-        if partition_cols and not self._has_data_files(target):
-            # a partitionBy write of an EMPTY DataFrame emits _SUCCESS but no
-            # data files, which breaks schema inference on read-back; rewrite
-            # the empty snapshot unpartitioned so the schema is preserved
+        if bucket_spec is not None:
+            self._write_bucketed_snapshot(df, table, v, target, bucket_spec)
+        else:
+            writer = df.write.mode("overwrite")  # target dir is always fresh
+            if partition_cols:
+                writer = writer.partitionBy(*partition_cols)
+            writer.parquet(target)
+        if (partition_cols or bucket_spec) and not self._has_data_files(target):
+            # a partitionBy/bucketBy write of an EMPTY DataFrame emits
+            # _SUCCESS but no data files, which breaks schema inference on
+            # read-back; rewrite the empty snapshot unpartitioned (and drop
+            # the bucketspec — no co-location claim over zero files)
             df.limit(0).write.mode("overwrite").parquet(target)
+            spec_path = os.path.join(target, "_bucketspec.json")
+            if os.path.exists(spec_path):
+                os.remove(spec_path)
         # atomic pointer switch: the snapshot becomes visible only here
         tmp = self._pointer_path(table) + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, self._pointer_path(table))
-        # GC snapshots older than the previous one
+        # GC snapshots older than the previous one (+ their registrations)
         for name in os.listdir(root):
             if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < v - 1:
                 shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                try:
+                    self.spark.sql(
+                        "DROP TABLE IF EXISTS "
+                        + self._bucket_table_name(table, int(name[1:]))
+                    )
+                except Exception:
+                    pass
+
+    def _write_bucketed_snapshot(
+        self, df: DataFrame, table: str, version: int, target: str, spec: dict
+    ) -> None:
+        import json
+
+        cols = list(spec["cols"])
+        n = int(spec["n"])
+        sort = list(spec.get("sort") or cols)
+        name = self._bucket_table_name(table, version)
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # pre-cluster into exactly n tasks so the write emits n files, not
+        # n_tasks x n (the small-file trade bucketing is known for)
+        (
+            df.repartition(n, *[F.col(c) for c in cols])
+            .write.mode("overwrite")
+            .option("path", target)
+            .bucketBy(n, *cols)
+            .sortBy(*sort)
+            .saveAsTable(name)
+        )
+        with open(os.path.join(target, "_bucketspec.json"), "w") as f:
+            json.dump(
+                {
+                    "cols": cols,
+                    "n": n,
+                    "sort": sort,
+                    "schema_ddl": df.schema.toDDL(),
+                },
+                f,
+            )
 
     def _has_data_files(self, data_dir: str) -> bool:
         for _root, _dirs, files in os.walk(data_dir):
@@ -219,6 +303,12 @@ class TableIO:
             raise FileNotFoundError(
                 f"table {table!r} snapshot v{version} expired (retention: current + 1)"
             )
+        v = self.current_version(table) if version is None else version
+        bucketed = self._register_bucketed(table, v)
+        if bucketed is not None:
+            # catalog read: the ONLY way to keep the bucket metadata — a
+            # plain parquet read of the same files loses co-location
+            return self.spark.table(bucketed)
         return self.spark.read.parquet(p)
 
     def merge(
@@ -250,6 +340,17 @@ class TableIO:
             self.write(updates, table, partition_cols=partition_cols)
             return
         current = self.read(table)
+        # a bucketed table stays bucketed through MERGE (Iceberg's bucket
+        # transform is a table property; the fallback re-reads the spec)
+        spec = None
+        spec_path = os.path.join(self.data_path(table), "_bucketspec.json")
+        if os.path.exists(spec_path):
+            import json
+
+            with open(spec_path) as f:
+                spec = {
+                    k: v for k, v in json.load(f).items() if k != "schema_ddl"
+                }
         kept = current.join(
             updates.select(*key_cols).distinct(), key_cols, "left_anti"
         )
@@ -257,6 +358,7 @@ class TableIO:
             kept.unionByName(updates.select(*current.columns)),
             table,
             partition_cols=partition_cols,
+            bucket_spec=spec,
         )
 
     def exists(self, table: str) -> bool:

@@ -201,7 +201,11 @@ class TestPipeline:
         files-per-bucket stays bounded by the writer-task count."""
         import json
 
-        cfg = PipelineConfig(warehouse=str(tmp_path / "whf"), lineage_buckets=4)
+        cfg = PipelineConfig(
+            warehouse=str(tmp_path / "whf"),
+            lineage_buckets=4,
+            bucket_link_tables=False,
+        )
         run_pipeline(spark, transcripts, cfg, input_fp="f")
         with open(str(tmp_path / "whf" / "mentions" / "_manifest.json")) as f:
             mf = json.load(f)
@@ -212,6 +216,13 @@ class TestPipeline:
         # upper bound: one file per writer task per bucket (tests run with
         # 4 shuffle partitions)
         assert max(fpp.values()) <= 4
+        # the bucketed default layout bounds files harder: the pre-cluster
+        # repartition makes exactly link_buckets writer tasks
+        cfg_b = PipelineConfig(warehouse=str(tmp_path / "whfb"), link_buckets=4)
+        run_pipeline(spark, transcripts, cfg_b, input_fp="f")
+        with open(str(tmp_path / "whfb" / "mentions" / "_manifest.json")) as f:
+            mfb = json.load(f)
+        assert 0 < mfb["files"]["n_files"] <= 4
 
     def test_compact_stage_bounds_files_and_preserves_resume(
         self, spark, transcripts, tmp_path
@@ -221,7 +232,13 @@ class TestPipeline:
         from runne_contrastive_ner_spark.plans.manifest import compact_stage
         from runne_contrastive_ner_spark.sources.tables import TableIO
 
-        cfg = PipelineConfig(warehouse=str(tmp_path / "whc"), lineage_buckets=4)
+        # the conv_bucket-dir layout: compaction targets partition dirs
+        # (bucketed snapshots are file-bounded by construction and skip it)
+        cfg = PipelineConfig(
+            warehouse=str(tmp_path / "whc"),
+            lineage_buckets=4,
+            bucket_link_tables=False,
+        )
         res = run_pipeline(spark, transcripts, cfg, input_fp="c")
         n_before = res.mentions.count()
         io = TableIO(spark, cfg.warehouse)
@@ -457,7 +474,11 @@ class TestSnapshotIsolation:
         from runne_contrastive_ner_spark.plans.manifest import compact_stage
         from runne_contrastive_ner_spark.sources.tables import TableIO
 
-        cfg = PipelineConfig(warehouse=str(tmp_path / "whci"), lineage_buckets=4)
+        cfg = PipelineConfig(
+            warehouse=str(tmp_path / "whci"),
+            lineage_buckets=4,
+            bucket_link_tables=False,
+        )
         run_pipeline(spark, transcripts, cfg, input_fp="ci")
         io = TableIO(spark, cfg.warehouse)
         compact_stage(io, "mentions", partition_col="conv_bucket")
@@ -641,3 +662,90 @@ class TestBucketedTables:
             for r in mentions.join(ents, "surface_norm").collect()
         }
         assert got == want and len(got) == 4000
+
+
+class TestBucketedPipelineStages:
+    """VERDICT r4 item 2: mentions/entities stages write hash-clustered on
+    surface_norm so the post-resume folds join the re-read tables with zero
+    surface_norm Exchange — the shuffle is paid once at write."""
+
+    def _run(self, spark, transcripts, wh, **cfg_kwargs):
+        cfg = PipelineConfig(warehouse=str(wh), **cfg_kwargs)
+        return cfg, run_pipeline(spark, transcripts, cfg, input_fp="bkt")
+
+    def test_fold_join_has_no_surface_norm_exchange(
+        self, spark, transcripts, tmp_path
+    ):
+        import os
+        import re
+
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+
+        wh = tmp_path / "wh"
+        cfg, res = self._run(spark, transcripts, wh)
+        n_triples = res.triples.count()
+        io = TableIO(spark, str(wh))
+        m = io.read("mentions")
+        plan_m = m._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan_m
+        # the resume fold: triples manifest deleted -> mentions/entities are
+        # READ BACK and joined; that join must not re-shuffle on surface_norm
+        os.remove(str(wh / "triples" / "_manifest.json"))
+        _, res2 = self._run(spark, transcripts, wh)
+        assert res2.triples.count() == n_triples
+        e = io.read("entities")
+        fold = m.join(
+            e.select("surface_norm", "canonical_id", "entity_id"),
+            on="surface_norm",
+            how="left",
+        )
+        jp = fold._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"hashpartitioning\(surface_norm", jp)
+
+    def test_reregistration_after_catalog_loss(self, spark, transcripts, tmp_path):
+        """The in-memory catalog dies with the session; read() must
+        re-register the bucketed external table from _bucketspec.json."""
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+
+        wh = tmp_path / "wh"
+        _, res = self._run(spark, transcripts, wh)
+        n = res.mentions.count()
+        io = TableIO(spark, str(wh))
+        for t in spark.catalog.listTables():
+            if t.name.startswith("kg_bkt_"):
+                spark.sql(f"DROP TABLE {t.name}")
+        df = io.read("mentions")
+        assert df.count() == n
+        # co-location is genuinely recovered: a groupBy on the bucket key
+        # aggregates on the scan with no Exchange (a bare scan doesn't
+        # exercise — or print — the bucket metadata)
+        import re
+
+        gp = (
+            df.groupBy("surface_norm")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert not re.search(r"Exchange hashpartitioning\(surface_norm", gp)
+        assert "Bucketed: true" in gp
+
+    def test_empty_input_bucketed_stages(self, spark, transcripts, tmp_path):
+        cfg, res = self._run(spark, transcripts.limit(0), tmp_path / "wh0")
+        assert res.mentions.count() == 0
+        assert res.triples.count() == 0
+
+    def test_unbucketed_layout_still_available(self, spark, transcripts, tmp_path):
+        import os
+
+        _, res = self._run(
+            spark, transcripts, tmp_path / "whu", bucket_link_tables=False
+        )
+        assert res.mentions.count() > 0
+        # legacy layout: conv_bucket partition dirs, no bucketspec
+        root = tmp_path / "whu" / "mentions"
+        snap = [d for d in os.listdir(root) if d.startswith("v")][0]
+        entries = os.listdir(root / snap)
+        assert any(e.startswith("conv_bucket=") for e in entries)
+        assert "_bucketspec.json" not in entries

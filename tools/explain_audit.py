@@ -107,6 +107,47 @@ def summarize(plan: str) -> dict[str, object]:
     }
 
 
+def resume_fold_plan(spark, sf_dir: str) -> tuple[str, dict]:
+    """The post-resume triples fold over BUCKETED stage tables (VERDICT r4
+    item 2): run the staged pipeline into a temp warehouse, then rebuild the
+    fold the resume path runs — the re-read mentions x entities join. With
+    surface_norm-bucketed snapshots this join must carry NO
+    hashpartitioning(surface_norm) Exchange: the shuffle was paid once at
+    stage-write time."""
+    import shutil
+    import tempfile
+
+    from runne_contrastive_ner_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+    from runne_contrastive_ner_spark.sources.tables import TableIO
+    from runne_contrastive_ner_spark.sources.transcripts import from_documents
+
+    wh = tempfile.mkdtemp(prefix="audit_wh_")
+    try:
+        cfg = PipelineConfig(warehouse=wh)
+        with contextlib.redirect_stdout(io.StringIO()):
+            run_pipeline(spark, from_documents(spark, sf_dir), cfg, input_fp="audit")
+        tio = TableIO(spark, wh)
+        m = tio.read("mentions")
+        e = tio.read("entities")
+        fold = m.join(
+            e.select("surface_norm", "canonical_id", "entity_id"),
+            on="surface_norm",
+            how="left",
+        )
+        plan = plan_of(fold)
+        s = summarize(plan)
+        s["surface_norm_exchange"] = bool(
+            re.search(r"hashpartitioning\(surface_norm", plan)
+        )
+        s["bucketed_scans"] = len(re.findall(r"Bucketed: true", plan))
+        return plan, s
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     # audit the DISTRIBUTED graph plans (the 100 TB shapes), not the
@@ -129,6 +170,11 @@ def main():
         bound = EXCHANGE_BOUNDS.get(name)
         if bound is not None and s["exchanges"] > bound:
             failures.append(f"{name} (exchanges {s['exchanges']} > {bound})")
+    fold_plan, fold_s = resume_fold_plan(spark, sf_dir)
+    sections.append(("pipeline_resume_fold (mentions x entities, bucketed)", fold_s, fold_plan))
+    print("pipeline_resume_fold", {k: v for k, v in fold_s.items() if k != "scan_schemas"})
+    if fold_s["surface_norm_exchange"]:
+        failures.append("pipeline_resume_fold (surface_norm Exchange present)")
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan audit of headline queries\n\n"
