@@ -176,6 +176,30 @@ def main():
     pipeline_skip = timed_pipeline()
     shutil.rmtree(wh, ignore_errors=True)
 
+    # streaming tail-ingest economics (VERDICT r4 item 8): cold drain of a
+    # transcripts directory vs re-run after dropping new files in — the
+    # checkpoint must confine the expensive mention scan to the NEW files,
+    # so the tail wall is fold-dominated (link+triples over the accumulated
+    # mentions), not scan-dominated.
+    from jobs.run_streaming_pipeline import run_streaming as run_streaming_job
+
+    sdir = tempfile.mkdtemp(prefix="bench_stream_t_")
+    swh = tempfile.mkdtemp(prefix="bench_stream_wh_")
+    tdir = os.path.join(sdir, "transcripts")
+    conv_bucket = F.pmod(F.xxhash64("conv_id"), F.lit(4))
+    base_part = base.filter(conv_bucket != 0)  # ~75% of conversations
+    tail_part = base.filter(conv_bucket == 0)
+    base_part.coalesce(6).write.parquet(tdir)
+    t0 = time.time()
+    stats_cold = run_streaming_job(spark, tdir, swh)
+    stream_cold = time.time() - t0
+    tail_part.coalesce(2).write.mode("append").parquet(tdir)
+    t0 = time.time()
+    stats_tail = run_streaming_job(spark, tdir, swh)
+    stream_tail = time.time() - t0
+    shutil.rmtree(sdir, ignore_errors=True)
+    shutil.rmtree(swh, ignore_errors=True)
+
     out = {
         "metric": "headline_total_sec",
         "value": round(total, 3),
@@ -193,6 +217,11 @@ def main():
         "pipeline_skip_sec": round(pipeline_skip, 3),
         "query_reps_sec": reps_raw,
         "scorer_batch_windows_per_sec": scorer_windows_sec,
+        "stream_cold_sec": round(stream_cold, 3),
+        "stream_tail_sec": round(stream_tail, 3),
+        "stream_cold_batches": stats_cold["new_batches"],
+        "stream_tail_new_batches": stats_tail["new_batches"],
+        "stream_mentions": stats_tail["mentions"],
     }
     print(json.dumps(out))
     spark.stop()
