@@ -307,39 +307,20 @@ def bigram_embedding_edges(
     )
 
 
-def canonicalize(
+def canonicalize_nodes(
     spark: SparkSession,
-    mentions: DataFrame,
+    nodes: DataFrame,
     aliases: list[tuple[str, str]] | None = None,
     use_embedding_edges: bool = False,
     embedding_threshold: float | None = None,
     embedding_method: str = "lsh",
     bigram_candidates: str = "bigram",
-    persist_registry: list[DataFrame] | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """→ (entities, edges, mentions_with_canonical_id).
-
-    entities: (canonical_id, surface_norm, n_mentions, types)
-    edges:    (src, dst, kind)
-
-    ``persist_registry``: every DataFrame this call persists is appended, so
-    the caller can ``unpersist()`` them when the linked lineage is no longer
-    needed (callers composing many canonicalize() lineages in one session
-    would otherwise accumulate cached copies of the expensive mention scan;
-    __spark_entry__ memoizes ONE lineage per sf_dir and releases the old one).
-    """
-    # the mention stage is the expensive pandas-UDF scan; it is referenced by
-    # nodes, edges, AND the final linked join — persist so downstream actions
-    # compute it once (the staged pipeline gets the same effect from its
-    # table writes; this covers direct composition)
-    mentions = mentions.persist()
-    nodes = entity_nodes(mentions).persist()
-    if persist_registry is not None:
-        persist_registry.extend([mentions, nodes])
-    # eagerly materialize once: the alias-edge build broadcasts two
-    # projections of `nodes` concurrently, and with a cold cache both
-    # broadcast subtrees race to recompute the full mention scan
-    nodes.count()
+) -> tuple[DataFrame, DataFrame]:
+    """→ (entities, edges) from a NODE-stats table (surface_norm,
+    n_mentions, types) — the dictionary-level half of ``canonicalize``.
+    Exposed separately so the incremental streaming fold can re-canonicalize
+    merged per-surface stats (dictionary-sized) without touching the
+    corpus-sized mention table (streaming/incremental.py)."""
     aliases_eff = TEST_ALIASES if aliases is None else aliases
     local_pairs = alias_edge_pairs_local(nodes, aliases_eff)
     if local_pairs is not None:
@@ -398,6 +379,51 @@ def canonicalize(
         .withColumn(
             "entity_id", F.expr(spark_md5_int_sql("coalesce(canonical_id, surface_norm)"))
         )
+    )
+    return entities, edges
+
+
+def canonicalize(
+    spark: SparkSession,
+    mentions: DataFrame,
+    aliases: list[tuple[str, str]] | None = None,
+    use_embedding_edges: bool = False,
+    embedding_threshold: float | None = None,
+    embedding_method: str = "lsh",
+    bigram_candidates: str = "bigram",
+    persist_registry: list[DataFrame] | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """→ (entities, edges, mentions_with_canonical_id).
+
+    entities: (canonical_id, surface_norm, n_mentions, types)
+    edges:    (src, dst, kind)
+
+    ``persist_registry``: every DataFrame this call persists is appended, so
+    the caller can ``unpersist()`` them when the linked lineage is no longer
+    needed (callers composing many canonicalize() lineages in one session
+    would otherwise accumulate cached copies of the expensive mention scan;
+    __spark_entry__ memoizes ONE lineage per sf_dir and releases the old one).
+    """
+    # the mention stage is the expensive pandas-UDF scan; it is referenced by
+    # nodes, edges, AND the final linked join — persist so downstream actions
+    # compute it once (the staged pipeline gets the same effect from its
+    # table writes; this covers direct composition)
+    mentions = mentions.persist()
+    nodes = entity_nodes(mentions).persist()
+    if persist_registry is not None:
+        persist_registry.extend([mentions, nodes])
+    # eagerly materialize once: the alias-edge build broadcasts two
+    # projections of `nodes` concurrently, and with a cold cache both
+    # broadcast subtrees race to recompute the full mention scan
+    nodes.count()
+    entities, edges = canonicalize_nodes(
+        spark,
+        nodes,
+        aliases=aliases,
+        use_embedding_edges=use_embedding_edges,
+        embedding_threshold=embedding_threshold,
+        embedding_method=embedding_method,
+        bigram_candidates=bigram_candidates,
     )
     # no explicit broadcast: the entity dictionary is small here but can be
     # 10^7+ rows at corpus scale — AQE broadcasts it when it fits and falls

@@ -142,6 +142,115 @@ def incremental_triples(
     return induce_predicates(linked, entity_col="entity_id")
 
 
+def incremental_kg_fold(
+    spark: SparkSession,
+    io,
+    all_mentions: DataFrame,
+    new_mentions: DataFrame,
+    aliases: list[tuple[str, str]] | None = None,
+    k: int = 2,
+) -> dict:
+    """Tail-ingest KG maintenance with DELTA-sized compute (the piece that
+    makes the streaming loop viable at corpus scale — a per-batch rebuild of
+    link + triples is proportional to the whole corpus, not the new files).
+
+    Invariant: after the fold, the ``entities`` and ``triples`` tables are
+    row-identical to a from-scratch batch fold over ``all_mentions``
+    (property-tested in tests/test_incremental.py). The decomposition:
+
+    1. entity stats merge — per-surface (n_mentions, types) from the NEW
+       mentions only, merged into the previous ``entities`` snapshot by
+       full-outer union+groupBy. Dictionary-sized, exact (counts add, type
+       sets union).
+    2. re-canonicalize the DICTIONARY — alias edges + connected components
+       over the merged node stats (linking.canonicalize_nodes). The
+       dictionary is orders of magnitude smaller than the corpus; this is
+       the cheap global step.
+    3. changed-surface detection — surfaces whose canonical_id differs from
+       the previous snapshot (or are new). A new surface can BRIDGE two old
+       components, silently re-labeling surfaces in conversations the new
+       batch never touched; skipping this step is the correctness trap in
+       naive incremental linking.
+    4. delta conversations = convs of new mentions ∪ convs containing a
+       changed surface (semi-join of the accumulated mention table against
+       the dictionary-bounded changed-surface set).
+    5. triples are a PER-CONVERSATION function of linked mentions
+       (induce_predicates windows by conv_id), so only delta conversations
+       re-derive; MERGE by conv_id replaces exactly their triple groups.
+
+    The merge WRITE is copy-on-write under the Parquet fallback (corpus-
+    sized IO, delta-sized compute); Iceberg's merge-on-read makes the write
+    delta-sized too. Returns fold stats (delta sizes for observability)."""
+    from ..operators.linking import canonicalize_nodes, entity_nodes
+    from ..operators.predicates import induce_predicates
+
+    new_stats = entity_nodes(new_mentions)
+    prev_exists = io.exists("entities")
+    if prev_exists:
+        prev = io.read("entities")
+        prev_nodes = prev.select(
+            "surface_norm",
+            "n_mentions",
+            F.split("types", ",").alias("types"),
+        )
+        prev_canon = prev.select(
+            "surface_norm", F.col("canonical_id").alias("prev_canonical_id")
+        )
+        combined = (
+            prev_nodes.unionByName(new_stats)
+            .groupBy("surface_norm")
+            .agg(
+                F.sum("n_mentions").alias("n_mentions"),
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("types")))
+                ).alias("types"),
+            )
+        )
+    else:
+        prev_canon = None
+        combined = new_stats
+    combined = combined.localCheckpoint(eager=True)  # referenced 3x below
+    entities, _edges = canonicalize_nodes(spark, combined, aliases=aliases)
+    entities = entities.localCheckpoint(eager=True)
+    if prev_canon is not None:
+        changed = (
+            entities.join(prev_canon, "surface_norm", "left")
+            .filter(
+                F.col("prev_canonical_id").isNull()
+                | (F.col("prev_canonical_id") != F.col("canonical_id"))
+            )
+            .select("surface_norm")
+        )
+    else:
+        changed = entities.select("surface_norm")
+    # delta conversations: touched by new mentions OR containing a surface
+    # whose canonical id moved. `changed` is dictionary-bounded — at corpus
+    # scale a tail batch changes a handful of surfaces, so the semi-join
+    # prunes the accumulated table hard (and broadcasts the small side).
+    delta_convs = (
+        new_mentions.select("conv_id")
+        .unionByName(
+            all_mentions.join(changed, "surface_norm", "left_semi").select("conv_id")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    mentions_delta = all_mentions.join(delta_convs, "conv_id", "left_semi")
+    linked_delta = mentions_delta.join(
+        entities.select("surface_norm", "canonical_id", "entity_id"),
+        on="surface_norm",
+        how="left",
+    )
+    triples_delta = induce_predicates(linked_delta, k=k, entity_col="entity_id")
+    io.write(entities.withColumn("types", F.concat_ws(",", "types")), "entities")
+    io.merge("triples", triples_delta, key_cols=["conv_id"])
+    return {
+        "delta_convs": delta_convs.count(),
+        "changed_surfaces": changed.count(),
+        "incremental": prev_exists,
+    }
+
+
 def streaming_mentions(
     spark: SparkSession,
     transcripts_dir: str,

@@ -233,3 +233,121 @@ def test_streaming_job_tail_ingest(spark, tmp_path):
     _, _, linked = canonicalize(spark, extract_mentions(allt))
     want = induce_predicates(linked, k=2, entity_col="entity_id").count()
     assert s3["triples"] == want
+
+
+class TestIncrementalFold:
+    """incremental_kg_fold: delta-sized tail maintenance whose result is
+    row-identical to a from-scratch batch fold (the invariant), with the
+    canonical-id-change propagation case that breaks naive incremental
+    linking."""
+
+    MENTION_SCHEMA = (
+        "conv_id string, turn_idx int, type string, start int, end int,"
+        " surface string, surface_norm string"
+    )
+
+    def _mentions(self, spark, rows):
+        return spark.createDataFrame(
+            [
+                (c, t, "PERSON", 0, len(s), s, s)
+                for (c, t, s) in rows
+            ],
+            self.MENTION_SCHEMA,
+        )
+
+    def _scratch(self, spark, mentions, aliases):
+        from runne_contrastive_ner_spark.operators.linking import canonicalize
+        from runne_contrastive_ner_spark.operators.predicates import (
+            induce_predicates,
+        )
+
+        entities, _, linked = canonicalize(spark, mentions, aliases=aliases)
+        triples = induce_predicates(linked, k=2, entity_col="entity_id")
+        return entities, triples
+
+    def test_bridge_alias_propagates_to_untouched_conversation(
+        self, spark, tmp_path
+    ):
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+        from runne_contrastive_ner_spark.streaming.incremental import (
+            incremental_kg_fold,
+        )
+
+        aliases = [("aa zz", "bb")]
+        io = TableIO(spark, str(tmp_path / "foldwh"))
+        batch1 = self._mentions(
+            spark, [("c1", 0, "bb"), ("c1", 0, "qq"), ("c3", 0, "rr")]
+        )
+        s1 = incremental_kg_fold(spark, io, batch1, batch1, aliases=aliases)
+        assert s1["incremental"] is False
+        # round 2: a NEW surface 'aa zz' bridges into 'bb' and, being
+        # lexicographically smaller, STEALS the canonical id — conversation
+        # c1 (untouched by the batch) must re-derive its triples
+        batch2 = self._mentions(spark, [("c2", 0, "aa zz"), ("c2", 0, "mm")])
+        all2 = batch1.unionByName(batch2)
+        s2 = incremental_kg_fold(spark, io, all2, batch2, aliases=aliases)
+        assert s2["incremental"] is True
+        # delta = c2 (new) + c1 (contains 'bb' whose canonical moved); c3
+        # holds only the unaffected 'rr' and must NOT re-derive
+        assert s2["delta_convs"] == 2
+        got_ents = {
+            (r.surface_norm, r.canonical_id, r.n_mentions)
+            for r in io.read("entities").collect()
+        }
+        want_entities, want_triples = self._scratch(spark, all2, aliases)
+        want_ents = {
+            (r.surface_norm, r.canonical_id, r.n_mentions)
+            for r in want_entities.collect()
+        }
+        assert got_ents == want_ents
+        assert {tuple(r) for r in io.read("triples").collect()} == {
+            tuple(r) for r in want_triples.select(*io.read("triples").columns).collect()
+        }
+        # the bridged canonical id is in force inside c1's triples
+        bb_rows = [
+            r for r in io.read("entities").collect() if r.surface_norm == "bb"
+        ]
+        assert bb_rows[0].canonical_id == "aa zz"
+
+    def test_multi_round_fold_equals_scratch(self, spark, tmp_path):
+        """Three random-ish batch rounds; after every fold the tables equal
+        the from-scratch fold over the accumulated mentions."""
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+        from runne_contrastive_ner_spark.streaming.incremental import (
+            incremental_kg_fold,
+        )
+
+        aliases = [("spark", "apache spark"), ("ml", "machine learning")]
+        io = TableIO(spark, str(tmp_path / "foldwh2"))
+        surfaces = ["spark", "apache spark", "ml", "machine learning",
+                    "table", "join", "shuffle"]
+        rows = []
+        batches = []
+        for rnd in range(3):
+            batch_rows = [
+                (f"conv-{rnd}-{i % 4}", t, surfaces[(i * 3 + t + rnd) % len(surfaces)])
+                for i in range(6)
+                for t in range(3)
+            ]
+            # round 2 also REVISITS an old conversation (reprocessing shape)
+            if rnd == 2:
+                batch_rows += [("conv-0-1", 9, "ml")]
+            batches.append(batch_rows)
+            rows += batch_rows
+            all_m = self._mentions(spark, rows)
+            new_m = self._mentions(spark, batch_rows)
+            incremental_kg_fold(spark, io, all_m, new_m, aliases=aliases)
+            want_entities, want_triples = self._scratch(spark, all_m, aliases)
+            cols = io.read("triples").columns
+            assert {tuple(r) for r in io.read("triples").collect()} == {
+                tuple(r) for r in want_triples.select(*cols).collect()
+            }, f"round {rnd} triples diverged"
+            got = {
+                (r.surface_norm, r.canonical_id, r.n_mentions, r.types)
+                for r in io.read("entities").collect()
+            }
+            want = {
+                (r.surface_norm, r.canonical_id, r.n_mentions, ",".join(r.types))
+                for r in want_entities.collect()
+            }
+            assert got == want, f"round {rnd} entities diverged"
