@@ -222,6 +222,12 @@ def main():
         "stream_cold_batches": stats_cold["new_batches"],
         "stream_tail_new_batches": stats_tail["new_batches"],
         "stream_mentions": stats_tail["mentions"],
+        # incremental-fold confinement: how many conversations the tail run
+        # actually re-derived (new + canonical-changed) vs the corpus — the
+        # compute-side evidence; wall-clock at this SF is overhead-bound
+        "stream_tail_delta_convs": stats_tail.get("delta_convs"),
+        "stream_cold_delta_convs": stats_cold.get("delta_convs"),
+        "stream_tail_changed_surfaces": stats_tail.get("changed_surfaces"),
     }
     print(json.dumps(out))
     spark.stop()

@@ -81,7 +81,21 @@ NO_CARTESIAN = {
 # full mention lineage per reference (186 exchanges in the r3 audit). The
 # checkpoint truncates that to the joins/aggs of the lift itself — the bound
 # fails the audit if the lineage ever starts leaking into the plan again.
-EXCHANGE_BOUNDS = {"kg_edge_lift": 16}
+# The other bounds are regression tripwires set with ~25% headroom over the
+# r5 audit (kg_triples 32, pagerank 16, verb_predicates 52, communities 20,
+# triangles 4, entities_embedding 12, ngram_jaccard 14): they exist to catch
+# an order-of-magnitude lineage leak, not to freeze the exact plan.
+EXCHANGE_BOUNDS = {
+    "kg_edge_lift": 16,
+    "kg_triples": 40,
+    "kg_pagerank": 20,
+    "kg_verb_predicates": 64,
+    "kg_communities": 26,
+    "kg_triangles": 8,
+    "kg_entities_embedding": 16,
+    "dd_ngram_jaccard_pairs": 18,
+    "kg_mentions": 4,
+}
 
 
 def plan_of(df) -> str:
