@@ -311,12 +311,97 @@ class TableIO:
             return self.spark.table(bucketed)
         return self.spark.read.parquet(p)
 
+    def _merge_pruned(
+        self,
+        table: str,
+        updates: DataFrame,
+        key_cols: list[str],
+        partition_cols: list[str],
+    ) -> bool:
+        """Partition-scoped MERGE: rewrite ONLY the partition directories the
+        updates touch; every unaffected partition's files are HARDLINKED from
+        the previous snapshot into the new one (same inode — no data copy).
+        This is the file-reuse semantics of Iceberg's merge-on-read manifest
+        rewrite, expressed on the Parquet fallback: write amplification drops
+        from O(table) to O(affected partitions).
+
+        CORRECTNESS PRECONDITION (caller-asserted via prune_partitions=True):
+        every partition column must be a pure function of the key columns
+        (e.g. conv_bucket = hash(conv_id) % N). Then any existing row whose
+        key matches an update necessarily lives in an affected partition, so
+        the partition-pruned anti-join equals the global one.
+
+        Returns False when the current snapshot is not laid out by
+        ``partition_cols`` (caller falls back to the full rewrite)."""
+        import shutil
+
+        if len(partition_cols) != 1:
+            return False  # single-level partition layout only
+        src = self.data_path(table)
+        part_col = partition_cols[0]
+        existing_dirs = [
+            d for d in os.listdir(src) if d.startswith(f"{part_col}=")
+        ]
+        if not existing_dirs:
+            return False
+        # affected partition values: bounded by the partition-bucket count
+        affected = {
+            str(r[part_col])
+            for r in updates.select(part_col).distinct().collect()
+        }
+        affected_dirs = {
+            d for d in existing_dirs if d.split("=", 1)[1] in affected
+        }
+        current = self.spark.read.parquet(src)
+        kept = current.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        if affected_dirs:
+            kept = kept.filter(
+                F.col(part_col).isin(
+                    [d.split("=", 1)[1] for d in affected_dirs]
+                )
+            )
+        else:
+            kept = kept.limit(0)
+        rewritten = kept.unionByName(updates.select(*current.columns))
+        root = self.path(table)
+        cur_v = self.current_version(table)
+        v = cur_v + 1
+        target = self.data_path(table, v)
+        (
+            rewritten.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(target)
+        )
+        # hardlink every untouched partition dir from the previous snapshot
+        for d in existing_dirs:
+            if d in affected_dirs or os.path.isdir(os.path.join(target, d)):
+                continue
+            os.makedirs(os.path.join(target, d), exist_ok=True)
+            for fname in os.listdir(os.path.join(src, d)):
+                s = os.path.join(src, d, fname)
+                t = os.path.join(target, d, fname)
+                try:
+                    os.link(s, t)
+                except OSError:  # cross-device etc. — fall back to copy
+                    shutil.copy2(s, t)
+        tmp = self._pointer_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer_path(table))
+        for name in os.listdir(root):
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < v - 1:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        return True
+
     def merge(
         self,
         table: str,
         updates: DataFrame,
         key_cols: list[str],
         partition_cols: list[str] | None = None,
+        prune_partitions: bool = False,
     ) -> None:
         """Upsert ``updates`` into ``table`` by key — the MERGE INTO
         (WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT) shape:
@@ -335,10 +420,19 @@ class TableIO:
         copy-on-write form is the right trade for the pipeline's unit of
         work (whole-conversation reprocessing, where most of the partition
         changes anyway).
+
+        ``prune_partitions=True`` (requires ``partition_cols``, each a pure
+        function of the key columns — caller's assertion) switches to the
+        partition-scoped path: only affected partition dirs are rewritten,
+        unaffected ones hardlink into the new snapshot (``_merge_pruned``) —
+        the delta-sized write the incremental streaming fold needs.
         """
         if not self.exists(table):
             self.write(updates, table, partition_cols=partition_cols)
             return
+        if prune_partitions and partition_cols and not self.use_iceberg:
+            if self._merge_pruned(table, updates, key_cols, partition_cols):
+                return
         current = self.read(table)
         # a bucketed table stays bucketed through MERGE (Iceberg's bucket
         # transform is a table property; the fallback re-reads the spec)

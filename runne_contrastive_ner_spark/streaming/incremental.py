@@ -142,6 +142,9 @@ def incremental_triples(
     return induce_predicates(linked, entity_col="entity_id")
 
 
+FOLD_TRIPLE_BUCKETS = 16
+
+
 def incremental_kg_fold(
     spark: SparkSession,
     io,
@@ -178,9 +181,12 @@ def incremental_kg_fold(
        (induce_predicates windows by conv_id), so only delta conversations
        re-derive; MERGE by conv_id replaces exactly their triple groups.
 
-    The merge WRITE is copy-on-write under the Parquet fallback (corpus-
-    sized IO, delta-sized compute); Iceberg's merge-on-read makes the write
-    delta-sized too. Returns fold stats (delta sizes for observability)."""
+    The merge WRITE is delta-sized too: the triples table is partitioned by
+    ``conv_bucket = hash(conv_id) % 16`` and the MERGE runs partition-pruned
+    (TableIO._merge_pruned) — only buckets holding delta conversations are
+    rewritten, untouched buckets HARDLINK into the new snapshot (Iceberg's
+    manifest-reuse semantics on the Parquet fallback). Returns fold stats
+    (delta sizes for observability)."""
     from ..operators.linking import canonicalize_nodes, entity_nodes
     from ..operators.predicates import induce_predicates
 
@@ -243,7 +249,20 @@ def incremental_kg_fold(
     )
     triples_delta = induce_predicates(linked_delta, k=k, entity_col="entity_id")
     io.write(entities.withColumn("types", F.concat_ws(",", "types")), "entities")
-    io.merge("triples", triples_delta, key_cols=["conv_id"])
+    # conv_bucket is a pure function of the merge key, which licenses the
+    # partition-PRUNED merge: only the buckets holding delta conversations
+    # are rewritten; untouched buckets hardlink into the new snapshot (the
+    # delta-sized WRITE to pair with the delta-sized compute above)
+    triples_delta = triples_delta.withColumn(
+        "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(FOLD_TRIPLE_BUCKETS))
+    )
+    io.merge(
+        "triples",
+        triples_delta,
+        key_cols=["conv_id"],
+        partition_cols=["conv_bucket"],
+        prune_partitions=True,
+    )
     return {
         "delta_convs": delta_convs.count(),
         "changed_surfaces": changed.count(),

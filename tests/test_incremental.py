@@ -300,8 +300,11 @@ class TestIncrementalFold:
             for r in want_entities.collect()
         }
         assert got_ents == want_ents
-        assert {tuple(r) for r in io.read("triples").collect()} == {
-            tuple(r) for r in want_triples.select(*io.read("triples").columns).collect()
+        assert {tuple(r) for r in io.read("triples").drop("conv_bucket").collect()} == {
+            tuple(r)
+            for r in want_triples.select(
+                *io.read("triples").drop("conv_bucket").columns
+            ).collect()
         }
         # the bridged canonical id is in force inside c1's triples
         bb_rows = [
@@ -338,8 +341,11 @@ class TestIncrementalFold:
             new_m = self._mentions(spark, batch_rows)
             incremental_kg_fold(spark, io, all_m, new_m, aliases=aliases)
             want_entities, want_triples = self._scratch(spark, all_m, aliases)
-            cols = io.read("triples").columns
-            assert {tuple(r) for r in io.read("triples").collect()} == {
+            cols = io.read("triples").drop("conv_bucket").columns
+            assert {
+                tuple(r)
+                for r in io.read("triples").drop("conv_bucket").collect()
+            } == {
                 tuple(r) for r in want_triples.select(*cols).collect()
             }, f"round {rnd} triples diverged"
             got = {

@@ -749,3 +749,82 @@ class TestBucketedPipelineStages:
         entries = os.listdir(root / snap)
         assert any(e.startswith("conv_bucket=") for e in entries)
         assert "_bucketspec.json" not in entries
+
+
+class TestPrunedMerge:
+    """Partition-scoped MERGE (TableIO._merge_pruned): delta-sized writes —
+    only affected partition dirs rewritten, unaffected ones hardlinked
+    (same inode) into the new snapshot."""
+
+    def _inodes(self, snap_dir):
+        import os
+
+        out = {}
+        for d in os.listdir(snap_dir):
+            if "=" not in d:
+                continue
+            out[d] = {
+                f: os.stat(os.path.join(snap_dir, d, f)).st_ino
+                for f in os.listdir(os.path.join(snap_dir, d))
+                if f.endswith(".parquet")
+            }
+        return out
+
+    def test_pruned_merge_semantics_and_hardlink_reuse(self, spark, tmp_path):
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+
+        io_ = TableIO(spark, str(tmp_path / "pm"))
+        base = spark.createDataFrame(
+            [(f"k{i}", i % 4, f"v{i}") for i in range(40)],
+            "key string, bucket int, val string",
+        )
+        # bucket IS a function of key here (i%4 where key='k'+i) — the
+        # precondition prune_partitions asserts
+        io_.write(base, "t", partition_cols=["bucket"])
+        before = self._inodes(io_.data_path("t"))
+        # updates touch only bucket 1: replace k1's group, add k41 (bucket 1)
+        updates = spark.createDataFrame(
+            [("k1", 1, "NEW"), ("k41", 1, "NEW41")],
+            "key string, bucket int, val string",
+        )
+        io_.merge("t", updates, key_cols=["key"], partition_cols=["bucket"],
+                  prune_partitions=True)
+        after = self._inodes(io_.data_path("t"))
+        got = {(r.key, r.val) for r in io_.read("t").collect()}
+        want = {(f"k{i}", f"v{i}") for i in range(40) if i != 1}
+        want |= {("k1", "NEW"), ("k41", "NEW41")}
+        assert got == want
+        # unaffected buckets: identical inodes (hardlinked, zero data copied)
+        for d in ("bucket=0", "bucket=2", "bucket=3"):
+            assert after[d] == before[d], d
+        # affected bucket rewritten: no shared inodes
+        assert not (
+            set(after["bucket=1"].values()) & set(before["bucket=1"].values())
+        )
+
+    def test_pruned_merge_equals_full_merge(self, spark, tmp_path):
+        """Property: pruned and full merge produce identical tables over a
+        random update sequence."""
+        import random
+
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+
+        rng = random.Random(3)
+        io_a = TableIO(spark, str(tmp_path / "pma"))
+        io_b = TableIO(spark, str(tmp_path / "pmb"))
+        rows = [(f"k{i}", i % 4, f"v{i}") for i in range(30)]
+        schema = "key string, bucket int, val string"
+        df = spark.createDataFrame(rows, schema)
+        io_a.write(df, "t", partition_cols=["bucket"])
+        io_b.write(df, "t", partition_cols=["bucket"])
+        for rnd in range(3):
+            ks = rng.sample(range(45), 5)
+            ups = spark.createDataFrame(
+                [(f"k{i}", i % 4, f"r{rnd}-{i}") for i in ks], schema
+            )
+            io_a.merge("t", ups, key_cols=["key"], partition_cols=["bucket"],
+                       prune_partitions=True)
+            io_b.merge("t", ups, key_cols=["key"], partition_cols=["bucket"])
+            a = {tuple(r) for r in io_a.read("t").collect()}
+            b = {tuple(r) for r in io_b.read("t").collect()}
+            assert a == b, f"round {rnd}"
