@@ -313,3 +313,100 @@ def label_propagation(
             .select(F.col("node").alias("src"), "lab")
         )
     return lab.select("src", F.col("lab").alias("community"))
+
+
+def _kcore_local(sym_edges: list[tuple[str, str]]) -> dict[str, int]:
+    """Driver-side core numbers (Batagelj–Zaveršnik bucket peeling, O(m)):
+    repeatedly remove the minimum-degree node; a node's core number is the
+    minimum degree of the subgraph at the moment it is removed, maxed over
+    the peel so far."""
+    adj: dict[str, set] = {}
+    for s, d in sym_edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    deg = {n: len(v) for n, v in adj.items()}
+    if not deg:
+        return {}
+    max_deg = max(deg.values())
+    bins: list[list[str]] = [[] for _ in range(max_deg + 1)]
+    for n in sorted(deg):  # sorted: deterministic peel order
+        bins[deg[n]].append(n)
+    core: dict[str, int] = {}
+    removed: set[str] = set()
+    cur = 0
+    while len(core) < len(deg):
+        while cur <= max_deg and not bins[cur]:
+            cur += 1
+        n = bins[cur].pop(0)
+        if n in removed:
+            continue
+        removed.add(n)
+        core[n] = cur
+        for m in adj[n]:
+            if m in removed:
+                continue
+            deg[m] -= 1
+            if deg[m] >= cur:
+                bins[max(deg[m], cur)].append(m)
+        # peeling can only lower the remaining minimum to cur, never below
+    return core
+
+
+def k_core_numbers(
+    nbrs: DataFrame,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
+) -> DataFrame:
+    """Core decomposition: per node, the largest k such that the node
+    belongs to a subgraph of minimum degree >= k — the standard density
+    ladder a KG operator reads next to degree/PageRank (a high-core entity
+    sits in a densely interlinked cluster; a high-degree low-core one is a
+    star hub). → ``(src, core)``.
+
+    Distributed shape: phase-k peeling. For k = 1, 2, ...: repeatedly drop
+    nodes with remaining degree < k (each inner round = one groupBy + one
+    anti-join, both keyed on node id; the edge list is localCheckpointed
+    per round so lineage stays flat); nodes dropped in phase k have core
+    number k-1. Deterministic by construction — the removal SET per round
+    is a pure function of the graph, no visit order. Peel depth is bounded
+    by the graph's degeneracy (tiny for co-occurrence graphs: a clique of
+    size c has degeneracy c-1), and each phase strictly shrinks the edge
+    list, so the job count is O(degeneracy + total-rounds), not O(n).
+
+    Hybrid: graphs under ``small_graph_edges`` peel driver-side
+    (Batagelj–Zaveršnik) — identical numbers, asserted against the
+    distributed path in tests."""
+    nbrs = nbrs.localCheckpoint(eager=True)
+    spark = nbrs.sparkSession
+    if nbrs.count() <= _effective_small(small_graph_edges):
+        core = _kcore_local([(r[0], r[1]) for r in nbrs.collect()])
+        if not core:
+            return spark.createDataFrame([], "src string, core long")
+        return spark.createDataFrame(
+            [(n, c) for n, c in sorted(core.items())], "src string, core long"
+        )
+    remaining = nbrs
+    out: DataFrame | None = None
+    k = 1
+    while remaining.limit(1).count() > 0:
+        while True:
+            deg = remaining.groupBy("src").agg(
+                F.count(F.lit(1)).cast("long").alias("d")
+            )
+            low = deg.filter(F.col("d") < k).select("src").localCheckpoint(
+                eager=True
+            )
+            if low.limit(1).count() == 0:
+                break
+            dropped = low.select("src", F.lit(k - 1).cast("long").alias("core"))
+            out = dropped if out is None else out.unionByName(dropped)
+            remaining = (
+                remaining.join(low, "src", "left_anti")
+                .join(low.withColumnRenamed("src", "dst"), "dst", "left_anti")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+        k += 1
+    if out is None:
+        return spark.createDataFrame([], "src string, core long")
+    return out

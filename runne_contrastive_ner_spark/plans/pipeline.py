@@ -170,6 +170,7 @@ def run_pipeline(
     if cfg.analytics:
         from ..operators.graph import (
             cooccurrence_edges,
+            k_core_numbers,
             label_propagation,
             pagerank,
             triangle_counts,
@@ -177,16 +178,18 @@ def run_pipeline(
 
         def build_analytics():
             # one analytics row per entity: centrality + triangle
-            # participation + community label, all over the SAME
-            # materialized edge list (checkpointed once inside each
-            # operator; the three are independent equi-join/groupBy chains)
+            # participation + community label + core number, all over the
+            # SAME materialized edge list (checkpointed once inside each
+            # operator; the four are independent equi-join/groupBy chains)
             edges_g = cooccurrence_edges(triples)
             pr = pagerank(edges_g, iterations=cfg.pagerank_iterations)
             tri = triangle_counts(edges_g)
             comm = label_propagation(edges_g, iterations=4)
+            core = k_core_numbers(edges_g)
             return (
                 pr.join(tri, "src", "left")
                 .join(comm, "src", "left")
+                .join(core, "src", "left")
                 .select(
                     F.col("src").alias("entity_id"),
                     "pr_q",
@@ -194,13 +197,14 @@ def run_pipeline(
                     .cast("long")
                     .alias("n_triangles"),
                     F.coalesce("community", F.col("src")).alias("community"),
+                    F.coalesce("core", F.lit(0)).cast("long").alias("core"),
                 )
             )
 
         analytics = runner.run(
             "analytics",
             fingerprint(
-                "analytics-v2", link_fp, cfg.window_k, cfg.pagerank_iterations
+                "analytics-v3", link_fp, cfg.window_k, cfg.pagerank_iterations
             ),
             build_analytics,
             lineage_key="entity_id",

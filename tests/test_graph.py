@@ -265,3 +265,67 @@ class TestLabelPropagation:
             ).collect()
         }
         assert fast == dist1 == dist2 == _label_prop_brute(und, 4)
+
+
+def _kcore_naive(und_pairs) -> dict[str, int]:
+    """Reference core numbers by definition: for each k, repeatedly delete
+    nodes of degree < k; survivors have core >= k."""
+    adj = {}
+    for a, b in und_pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    core = {n: 0 for n in adj}
+    k = 1
+    alive = set(adj)
+    while alive:
+        # peel to the k-core
+        changed = True
+        cur = {n: {m for m in adj[n] if m in alive} for n in alive}
+        while changed:
+            drop = {n for n in cur if len(cur[n]) < k}
+            changed = bool(drop)
+            for n in drop:
+                for m in cur[n]:
+                    cur[m].discard(n)
+                del cur[n]
+        for n in cur:
+            core[n] = k
+        alive = set(cur)
+        k += 1
+    return core
+
+
+class TestKCore:
+    def test_clique_plus_tail(self, spark):
+        """K4 with a pendant path: clique nodes core 3, path nodes core 1."""
+        import itertools
+
+        from runne_contrastive_ner_spark.operators.graph import k_core_numbers
+
+        und = list(itertools.combinations("wxyz", 2)) + [("z", "p1"), ("p1", "p2")]
+        got = {r.src: r.core for r in k_core_numbers(_sym(spark, und)).collect()}
+        assert got == {"w": 3, "x": 3, "y": 3, "z": 3, "p1": 1, "p2": 1}
+
+    def test_random_graphs_local_equals_distributed_equals_naive(self, spark):
+        import random
+
+        from runne_contrastive_ner_spark.operators.graph import k_core_numbers
+
+        nodes = [f"n{i:02d}" for i in range(20)]
+        for seed in (7, 99, 2024):
+            rng = random.Random(seed)
+            und = {tuple(sorted(rng.sample(nodes, 2))) for _ in range(70)}
+            sym = _sym(spark, und)
+            fast = {r.src: r.core for r in k_core_numbers(sym).collect()}
+            dist = {
+                r.src: r.core
+                for r in k_core_numbers(sym, small_graph_edges=0).collect()
+            }
+            assert fast == dist == _kcore_naive(und), seed
+
+    def test_empty(self, spark):
+        from runne_contrastive_ner_spark.operators.graph import k_core_numbers
+
+        empty = spark.createDataFrame([], "src string, dst string")
+        assert k_core_numbers(empty).count() == 0

@@ -274,12 +274,15 @@ class TestPipeline:
         )
         assert n_nodes == ents > 0
         assert "analytics" in res.metrics
-        # r4: the stage carries centrality + triangles + community per row
+        # r5: the stage carries centrality + triangles + community + core
         assert set(res.analytics.columns) == {
-            "entity_id", "pr_q", "n_triangles", "community",
+            "entity_id", "pr_q", "n_triangles", "community", "core",
         }
         rows = res.analytics.collect()
         assert all(r.pr_q > 0 and r.n_triangles >= 0 for r in rows)
+        # core-number sanity: any triangle participant sits in a 2-core;
+        # every co-occurrence participant is at least a 1-core node
+        assert all(r.core >= (2 if r.n_triangles > 0 else 1) for r in rows)
         # community labels are node ids of the same graph
         labels = {r.community for r in rows}
         assert labels <= {r.entity_id for r in rows}
