@@ -61,6 +61,28 @@ class TableIO:
     def _pointer_path(self, table: str) -> str:
         return os.path.join(self.path(table), "_current")
 
+    def _writer_lock(self, table: str):
+        """Advisory per-table writer lock (flock): two concurrent writers
+        both compute v = current + 1 and would race INTO THE SAME snapshot
+        directory — one writer's files clobber the other's mid-write. The
+        lock serializes the write/merge critical section per table; readers
+        never take it (snapshot isolation already protects them). Iceberg
+        provides the same guarantee via atomic metadata-pointer CAS."""
+        import contextlib
+        import fcntl
+
+        @contextlib.contextmanager
+        def held():
+            os.makedirs(self.path(table), exist_ok=True)
+            with open(os.path.join(self.path(table), "_writer.lock"), "w") as f:
+                fcntl.flock(f, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(f, fcntl.LOCK_UN)
+
+        return held()
+
     def current_version(self, table: str) -> int | None:
         p = self._pointer_path(table)
         if not os.path.exists(p):
@@ -85,6 +107,8 @@ class TableIO:
             e
             for e in os.listdir(root)
             if not e.startswith("_manifest")
+            and not e.startswith("_current")
+            and e != "_writer.lock"
             and not (e.startswith("v") and e[1:].isdigit())
         ]
         has_data = any(
@@ -179,43 +203,43 @@ class TableIO:
             )
         import shutil
 
-        root = self.path(table)
-        os.makedirs(root, exist_ok=True)
-        cur = self.current_version(table)
-        v = 0 if cur is None else cur + 1
-        target = self.data_path(table, v)
-        if bucket_spec is not None:
-            self._write_bucketed_snapshot(df, table, v, target, bucket_spec)
-        else:
-            writer = df.write.mode("overwrite")  # target dir is always fresh
-            if partition_cols:
-                writer = writer.partitionBy(*partition_cols)
-            writer.parquet(target)
-        if (partition_cols or bucket_spec) and not self._has_data_files(target):
-            # a partitionBy/bucketBy write of an EMPTY DataFrame emits
-            # _SUCCESS but no data files, which breaks schema inference on
-            # read-back; rewrite the empty snapshot unpartitioned (and drop
-            # the bucketspec — no co-location claim over zero files)
-            df.limit(0).write.mode("overwrite").parquet(target)
-            spec_path = os.path.join(target, "_bucketspec.json")
-            if os.path.exists(spec_path):
-                os.remove(spec_path)
-        # atomic pointer switch: the snapshot becomes visible only here
-        tmp = self._pointer_path(table) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, self._pointer_path(table))
-        # GC snapshots older than the previous one (+ their registrations)
-        for name in os.listdir(root):
-            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < v - 1:
-                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
-                try:
-                    self.spark.sql(
-                        "DROP TABLE IF EXISTS "
-                        + self._bucket_table_name(table, int(name[1:]))
-                    )
-                except Exception:
-                    pass
+        with self._writer_lock(table):
+            root = self.path(table)
+            cur = self.current_version(table)
+            v = 0 if cur is None else cur + 1
+            target = self.data_path(table, v)
+            if bucket_spec is not None:
+                self._write_bucketed_snapshot(df, table, v, target, bucket_spec)
+            else:
+                writer = df.write.mode("overwrite")  # target is always fresh
+                if partition_cols:
+                    writer = writer.partitionBy(*partition_cols)
+                writer.parquet(target)
+            if (partition_cols or bucket_spec) and not self._has_data_files(target):
+                # a partitionBy/bucketBy write of an EMPTY DataFrame emits
+                # _SUCCESS but no data files, which breaks schema inference
+                # on read-back; rewrite the empty snapshot unpartitioned (and
+                # drop the bucketspec — no co-location claim over zero files)
+                df.limit(0).write.mode("overwrite").parquet(target)
+                spec_path = os.path.join(target, "_bucketspec.json")
+                if os.path.exists(spec_path):
+                    os.remove(spec_path)
+            # atomic pointer switch: the snapshot becomes visible only here
+            tmp = self._pointer_path(table) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, self._pointer_path(table))
+            # GC snapshots older than the previous one (+ registrations)
+            for name in os.listdir(root):
+                if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < v - 1:
+                    shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                    try:
+                        self.spark.sql(
+                            "DROP TABLE IF EXISTS "
+                            + self._bucket_table_name(table, int(name[1:]))
+                        )
+                    except Exception:
+                        pass
 
     def _write_bucketed_snapshot(
         self, df: DataFrame, table: str, version: int, target: str, spec: dict
@@ -333,10 +357,22 @@ class TableIO:
 
         Returns False when the current snapshot is not laid out by
         ``partition_cols`` (caller falls back to the full rewrite)."""
-        import shutil
-
         if len(partition_cols) != 1:
             return False  # single-level partition layout only
+        with self._writer_lock(table):
+            return self._merge_pruned_locked(
+                table, updates, key_cols, partition_cols
+            )
+
+    def _merge_pruned_locked(
+        self,
+        table: str,
+        updates: DataFrame,
+        key_cols: list[str],
+        partition_cols: list[str],
+    ) -> bool:
+        import shutil
+
         src = self.data_path(table)
         part_col = partition_cols[0]
         existing_dirs = [

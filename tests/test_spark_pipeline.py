@@ -831,3 +831,45 @@ class TestPrunedMerge:
             a = {tuple(r) for r in io_a.read("t").collect()}
             b = {tuple(r) for r in io_b.read("t").collect()}
             assert a == b, f"round {rnd}"
+
+
+class TestWriterLock:
+    def test_concurrent_writers_do_not_interleave_snapshots(
+        self, spark, tmp_path
+    ):
+        """Two concurrent writers both computing v = current+1 would race
+        into the SAME snapshot directory and interleave files; the per-table
+        flock serializes them, so the surviving snapshot is one writer's
+        COMPLETE dataset, never a mix."""
+        import threading
+
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+
+        io_ = TableIO(spark, str(tmp_path / "lockwh"))
+        frames = {
+            m: spark.createDataFrame(
+                [(f"{m}{i}", i % 3, m) for i in range(60)],
+                "key string, bucket int, marker string",
+            )
+            for m in ("A", "B")
+        }
+        errors = []
+
+        def writer(m):
+            try:
+                for _ in range(3):
+                    io_.write(frames[m], "t", partition_cols=["bucket"])
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        ts = [threading.Thread(target=writer, args=(m,)) for m in "AB"]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errors
+        rows = io_.read("t").collect()
+        assert len(rows) == 60
+        assert len({r.marker for r in rows}) == 1  # one writer's snapshot
+        keys = {r.key for r in rows}
+        assert keys in ({f"A{i}" for i in range(60)}, {f"B{i}" for i in range(60)})
