@@ -873,3 +873,54 @@ class TestWriterLock:
         assert len({r.marker for r in rows}) == 1  # one writer's snapshot
         keys = {r.key for r in rows}
         assert keys in ({f"A{i}" for i in range(60)}, {f"B{i}" for i in range(60)})
+
+
+class TestRdfAndViews:
+    def test_ntriples_roundtrip(self, spark, transcripts, tmp_path):
+        """Triples -> N-Triples text -> scan back: the distinct (s, p, o)
+        set survives byte-exactly, including ids with spaces/quotes that
+        need percent-encoding."""
+        from runne_contrastive_ner_spark.sources.rdf import (
+            read_ntriples,
+            write_ntriples,
+        )
+
+        _, _, linked = canonicalize(spark, extract_mentions(transcripts))
+        triples = induce_predicates(linked, k=2)
+        want = {
+            tuple(r)
+            for r in triples.select("subj", "pred", "obj").distinct().collect()
+        }
+        # ids here are surface strings with spaces — the encoding stress
+        assert any(" " in s for s, _, _ in want)
+        path = str(tmp_path / "nt")
+        write_ntriples(triples, path)
+        # spec shape: every line is `<iri> <iri> <iri> .`
+        with open(
+            [
+                str(p)
+                for p in (tmp_path / "nt").iterdir()
+                if p.name.startswith("part-")
+            ][0]
+        ) as f:
+            line = f.readline().strip()
+        assert line.startswith("<urn:kg:ent:") and line.endswith("> .")
+        got = {tuple(r) for r in read_ntriples(spark, path).collect()}
+        assert got == want
+
+    def test_register_kg_views(self, spark, transcripts, tmp_path):
+        from runne_contrastive_ner_spark.plans.views import register_kg_views
+
+        cfg = PipelineConfig(warehouse=str(tmp_path / "vwh"), analytics=True)
+        res = run_pipeline(spark, transcripts, cfg, input_fp="v")
+        names = register_kg_views(spark, str(tmp_path / "vwh"))
+        assert set(names) == {
+            "kg_mentions", "kg_entities", "kg_edges", "kg_triples",
+            "kg_analytics",
+        }
+        n = spark.sql(
+            "SELECT count(*) AS n FROM kg_triples t JOIN kg_analytics a"
+            " ON a.entity_id = t.subj"
+        ).collect()[0]["n"]
+        assert n > 0
+        assert spark.sql("SELECT * FROM kg_entities").count() == res.entities.count()
