@@ -41,6 +41,14 @@ def main() -> None:
         "per partition value (Iceberg rewrite_data_files equivalent); "
         "resume fingerprints are preserved",
     )
+    ap.add_argument(
+        "--export-ntriples",
+        metavar="PATH",
+        default=None,
+        help="after the run, export the distinct (subj, pred, obj) triple "
+        "set as W3C N-Triples text at PATH (sources/rdf.py) for loading "
+        "into any RDF store",
+    )
     args = ap.parse_args()
 
     # spark-submit owns master/executor settings; only job-level SQL conf here
@@ -81,6 +89,11 @@ def main() -> None:
             stage: compact_stage(io, stage, partition_col="conv_bucket").files
             for stage in ("mentions", "triples")
         }
+    if args.export_ntriples:
+        from runne_contrastive_ner_spark.sources.rdf import write_ntriples
+
+        write_ntriples(result.triples, args.export_ntriples)
+        out["ntriples_path"] = args.export_ntriples
     print(json.dumps(out))
     spark.stop()
 
