@@ -87,6 +87,7 @@ _T_WORD = _AS_ROWS(TRANS_WHOLE_WORD)
 
 
 _WIDTH_PATTERNS: dict[int, tuple] = {1: (_T_WORD,)}
+_WIDTH_PATTERN_ARRS: dict[int, np.ndarray] = {}
 
 
 def _width_pattern(width: int) -> tuple:
@@ -97,20 +98,55 @@ def _width_pattern(width: int) -> tuple:
     return pat
 
 
+def _width_pattern_arr(width: int) -> np.ndarray:
+    arr = _WIDTH_PATTERN_ARRS.get(width)
+    if arr is None:
+        arr = np.array(_width_pattern(width))
+        _WIDTH_PATTERN_ARRS[width] = arr
+    return arr
+
+
+class TransitionStack(list):
+    """The per-subtoken transition stack, as the plain row-tuple list the
+    scalar decode loop wants PLUS a lazily-built (T, 5, 5) ndarray view for
+    the vectorized decode (assembled by concatenating memoized per-width
+    pattern arrays — a fresh np.array(list) per sentence would cost more
+    than the decode it feeds)."""
+
+    __slots__ = ("_widths", "_arr")
+
+    def __init__(self, rows, widths):
+        super().__init__(rows)
+        self._widths = widths
+        self._arr = None
+
+    @property
+    def arr(self) -> np.ndarray:
+        if self._arr is None:
+            self._arr = (
+                np.concatenate([_width_pattern_arr(w) for w in self._widths])
+                if self._widths
+                else np.empty((0, N_CLASSES, N_CLASSES))
+            )
+        return self._arr
+
+
 def word_transition_stack(
     words: list[tuple[str, int, int]],
-) -> list[tuple[tuple[float, ...], ...]]:
+) -> TransitionStack:
     """Per-subtoken transition matrix chosen by word shape
     (postprocessing.py:128-138). ``words[i] = (text, first_sub, last_sub_excl)``.
     Width patterns are memoized (word widths repeat heavily)."""
     stack: list[tuple[tuple[float, ...], ...]] = []
+    widths: list[int] = []
     extend = stack.extend
     for _text, first, last in words:
         width = last - first
         if width <= 0:
             raise ValueError(f"word has empty subtoken range [{first},{last})")
+        widths.append(width)
         extend(_width_pattern(width))
-    return stack
+    return TransitionStack(stack, widths)
 
 
 # greedy_decode below hand-unrolls the argmax over exactly 5 classes; if the
@@ -150,6 +186,29 @@ def greedy_decode(proba: np.ndarray, transitions: list) -> list[int]:
             best = 4
         prev = best
         append(best)
+    return states
+
+
+# below this length the scalar loop wins (vectorized argmax has fixed numpy
+# dispatch cost; measured crossover ~20-30 subtokens on this host)
+VEC_DECODE_MIN = 24
+
+
+def greedy_decode_vec(proba: np.ndarray, trans_arr: np.ndarray) -> list[int]:
+    """Vectorized form of ``greedy_decode``: precompute, for every position
+    t and previous state s, the winning next state
+    ``nxt[t, s] = argmax_j proba[t, j] * A_t[s, j]`` in ONE numpy op (first
+    maximum wins — np.argmax's tie rule is exactly the scalar loop's strict
+    ``>`` scanning from class 0), then walk the chain with plain list
+    indexing. Value-identical to ``greedy_decode`` by construction and by
+    the hypothesis property test."""
+    nxt = np.argmax(proba[:, None, :] * trans_arr, axis=2).tolist()
+    states: list[int] = []
+    append = states.append
+    prev = O
+    for row in nxt:
+        prev = row[prev]
+        append(prev)
     return states
 
 
@@ -193,7 +252,10 @@ def decode_entity_spans(
     last = words[-1][2]
     if transitions is None:
         transitions = word_transition_stack(words)
-    inner = greedy_decode(proba[first:last], transitions)
+    if last - first >= VEC_DECODE_MIN and isinstance(transitions, TransitionStack):
+        inner = greedy_decode_vec(proba[first:last], transitions.arr)
+    else:
+        inner = greedy_decode(proba[first:last], transitions)
     return [(a + first, b + first) for a, b in spans_from_states(inner)]
 
 

@@ -139,6 +139,13 @@ class TableIO:
         for name in os.listdir(root):
             if name.startswith("v") and name[1:].isdigit() and int(name[1:]) <= cur - keep:
                 shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                try:
+                    self.spark.sql(
+                        "DROP TABLE IF EXISTS "
+                        + self._bucket_table_name(table, int(name[1:]))
+                    )
+                except Exception:
+                    pass
 
     def data_path(self, table: str, version: int | None = None) -> str:
         v = self.current_version(table) if version is None else version

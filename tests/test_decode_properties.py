@@ -96,3 +96,26 @@ def test_recursive_overflows_where_iterative_survives():
     transitions = D.word_transition_stack(words)
     out = D.greedy_decode(p, transitions)
     assert len(out) == n
+
+
+@settings(max_examples=200, deadline=None)
+@given(proba_matrices())
+def test_vectorized_decode_equals_scalar(case):
+    """greedy_decode_vec (np.argmax precompute + chain walk) must be
+    value-identical to the scalar strict-> loop on every input, including
+    exact float ties (np.argmax's first-max rule == the scalar scan)."""
+    proba, words = case
+    stack = D.word_transition_stack(words)
+    assert D.greedy_decode_vec(proba, stack.arr) == D.greedy_decode(
+        proba, stack
+    )
+
+
+def test_transition_stack_arr_matches_rows():
+    words = [("a", 0, 2), ("b", 2, 3), ("c", 3, 7)]
+    stack = D.word_transition_stack(words)
+    assert np.array_equal(stack.arr, np.array([list(r) for r in stack]))
+    # exact-tie case: uniform proba row forces score ties across classes;
+    # both paths must pick the identical (lowest legal) class
+    proba = np.full((7, 5), 0.2)
+    assert D.greedy_decode_vec(proba, stack.arr) == D.greedy_decode(proba, stack)
