@@ -16,6 +16,16 @@ parquet files into the directory and re-running processes exactly the new
 files. This is the production tail-ingest loop: the expensive stage is
 incremental, the graph fold is a deterministic function of the
 accumulated mention set.
+
+Crash safety (ADVICE r5, high): the fold delta is computed against a
+PERSISTED fold manifest (``_fold_manifest.json``, written atomically
+AFTER the triples merge lands), never against what this process observed
+before the stream ran. If a prior run crashed after the stream
+checkpoint committed batches but before the fold finished, those batch
+dirs are absent from the manifest, so the restart folds them — nothing
+is permanently skipped. A warehouse with entities/triples but no (or
+stale-subset) manifest refolds every batch: the fold is deterministic
+and the MERGE idempotent, so over-folding is safe; under-folding is not.
 """
 
 from __future__ import annotations
@@ -40,12 +50,30 @@ def run_streaming(spark: SparkSession, transcripts_dir: str, warehouse: str) -> 
     mentions_dir = os.path.join(warehouse, "stream_mentions")
     checkpoint_dir = os.path.join(warehouse, "_stream_checkpoint")
 
+    fold_manifest = os.path.join(warehouse, "_fold_manifest.json")
+
     def batch_dirs() -> set[str]:
         if not os.path.isdir(mentions_dir):
             return set()
         return {d for d in os.listdir(mentions_dir) if d.startswith("batch=")}
 
-    before = batch_dirs()
+    def folded_dirs() -> set[str]:
+        """Batch dirs the last COMPLETED fold incorporated (crash-safe
+        skip baseline — NOT what this process observed before the stream
+        ran: a crash between stream checkpoint and fold completion must
+        leave those batches in the next run's delta)."""
+        try:
+            with open(fold_manifest) as fh:
+                return set(json.load(fh)["folded_batches"])
+        except (OSError, ValueError, KeyError):
+            return set()
+
+    def write_manifest(dirs: set[str]) -> None:
+        tmp = fold_manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"folded_batches": sorted(dirs)}, fh)
+        os.replace(tmp, fold_manifest)  # atomic: never a torn manifest
+
     q = streaming_mentions(spark, transcripts_dir, mentions_dir, checkpoint_dir)
     q.awaitTermination()
     after = batch_dirs()
@@ -59,23 +87,27 @@ def run_streaming(spark: SparkSession, transcripts_dir: str, warehouse: str) -> 
     spark.catalog.refreshByPath(mentions_dir)
     mentions = spark.read.parquet(mentions_dir).drop("batch_id")
     io = TableIO(spark, warehouse)
-    new_dirs = sorted(after - before)
+    folded = folded_dirs()
+    new_dirs = sorted(after - folded)
     if not new_dirs and io.exists("entities") and io.exists("triples"):
-        # restart with zero new files: the fold is already a function of the
-        # accumulated mention set — nothing to do
+        # restart with zero unfolded batches: the fold is already a function
+        # of the accumulated mention set — nothing to do
         fold_stats = {"delta_convs": 0, "changed_surfaces": 0,
                       "incremental": True}
     else:
-        if before and new_dirs:
+        if folded and new_dirs and folded <= after:
             new_mentions = spark.read.parquet(
                 *[os.path.join(mentions_dir, d) for d in new_dirs]
             ).drop("batch_id")
         else:
-            new_mentions = mentions  # first run: everything is new
+            # first run, lost manifest, or manifest referencing dirs that no
+            # longer exist: refold everything (deterministic + idempotent)
+            new_mentions = mentions
         # delta-sized fold: entity-stat merge + dictionary re-CC + per-
         # conversation triple MERGE confined to conversations the new
         # batches (or canonical-id changes) touched
         fold_stats = incremental_kg_fold(spark, io, mentions, new_mentions)
+        write_manifest(after)  # only after the triples merge landed
     out = {
         "mentions": mentions.count(),
         "entities": io.read("entities").count(),

@@ -26,6 +26,8 @@ rank table every ~10 rounds (same guidance as components.py).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -63,6 +65,12 @@ FORCE_DISTRIBUTED = False
 
 def _effective_small(small_graph_edges: int) -> int:
     return 0 if FORCE_DISTRIBUTED else small_graph_edges
+
+
+# test-observability hook: inner peel rounds executed by the last
+# DISTRIBUTED k_core_numbers call (tests assert the degeneracy-derived
+# bound on deep graphs); runtime code never reads it
+_LAST_PEEL_ROUNDS = 0
 
 
 def _pagerank_local(
@@ -367,15 +375,26 @@ def k_core_numbers(
     nodes with remaining degree < k (each inner round = one groupBy + one
     anti-join, both keyed on node id; the edge list is localCheckpointed
     per round so lineage stays flat); nodes dropped in phase k have core
-    number k-1. Deterministic by construction — the removal SET per round
-    is a pure function of the graph, no visit order. Peel depth is bounded
-    by the graph's degeneracy (tiny for co-occurrence graphs: a clique of
-    size c has degeneracy c-1), and each phase strictly shrinks the edge
-    list, so the job count is O(degeneracy + total-rounds), not O(n).
+    number k-1. A node whose EVERY remaining neighbor drops in the same
+    round vanishes from the edge list without ever failing the degree
+    test — its residual degree fell to 0 < k, so it peels in the same
+    phase and is emitted with core k-1 too (the ``vanished`` leg below;
+    without it a star-graph center would get no core row at all).
+    Deterministic by construction — the removal SET per round is a pure
+    function of the graph, no visit order. Peel depth is bounded by the
+    graph's degeneracy (tiny for co-occurrence graphs: a clique of size c
+    has degeneracy c-1); each inner round removes >=1 node, so total
+    inner rounds <= n_nodes + degeneracy + 1 (``_LAST_PEEL_ROUNDS`` is
+    set for tests to assert the bound). Accumulated output parts are
+    folded + localCheckpointed every 16 unions so the union lineage (and
+    the pinned per-round checkpoint blocks it references) stays flat on
+    deep peels.
 
     Hybrid: graphs under ``small_graph_edges`` peel driver-side
     (Batagelj–Zaveršnik) — identical numbers, asserted against the
-    distributed path in tests."""
+    distributed path in tests (including the star shape that exercises
+    the vanished leg)."""
+    global _LAST_PEEL_ROUNDS
     nbrs = nbrs.localCheckpoint(eager=True)
     spark = nbrs.sparkSession
     if nbrs.count() <= _effective_small(small_graph_edges):
@@ -386,10 +405,12 @@ def k_core_numbers(
             [(n, c) for n, c in sorted(core.items())], "src string, core long"
         )
     remaining = nbrs
-    out: DataFrame | None = None
+    parts: list[DataFrame] = []
     k = 1
+    _LAST_PEEL_ROUNDS = 0
     while remaining.limit(1).count() > 0:
         while True:
+            _LAST_PEEL_ROUNDS += 1
             deg = remaining.groupBy("src").agg(
                 F.count(F.lit(1)).cast("long").alias("d")
             )
@@ -398,15 +419,28 @@ def k_core_numbers(
             )
             if low.limit(1).count() == 0:
                 break
-            dropped = low.select("src", F.lit(k - 1).cast("long").alias("core"))
-            out = dropped if out is None else out.unionByName(dropped)
+            core_k = F.lit(k - 1).cast("long").alias("core")
+            parts.append(low.select("src", core_k))
+            kept = deg.filter(F.col("d") >= k).select("src")
             remaining = (
                 remaining.join(low, "src", "left_anti")
                 .join(low.withColumnRenamed("src", "dst"), "dst", "left_anti")
                 .select("src", "dst")
                 .localCheckpoint(eager=True)
             )
+            # kept nodes absent from the post-removal edge list lost ALL
+            # neighbors this round: residual degree 0 < k -> core k-1.
+            # (anti-join needs no distinct on the right; the symmetric
+            # edge list guarantees src-set == dst-set.)
+            parts.append(
+                kept.join(remaining, "src", "left_anti").select("src", core_k)
+            )
+            if len(parts) >= 16:
+                parts = [
+                    functools.reduce(DataFrame.unionByName, parts)
+                    .localCheckpoint(eager=True)
+                ]
         k += 1
-    if out is None:
+    if not parts:
         return spark.createDataFrame([], "src string, core long")
-    return out
+    return functools.reduce(DataFrame.unionByName, parts)

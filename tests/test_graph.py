@@ -329,3 +329,70 @@ class TestKCore:
 
         empty = spark.createDataFrame([], "src string, dst string")
         assert k_core_numbers(empty).count() == 0
+
+    def test_star_graph_center_gets_core_row(self, spark):
+        """ADVICE r5 (high): on the distributed path, the star center's
+        every neighbor drops in the same peel round, so the center used
+        to vanish from the edge list without a core row. Both paths must
+        emit core 1 for every node."""
+        from runne_contrastive_ner_spark.operators.graph import k_core_numbers
+
+        und = [("c", f"l{i}") for i in range(6)]
+        want = {n: 1 for n in ["c"] + [f"l{i}" for i in range(6)]}
+        sym = _sym(spark, und)
+        local = {r.src: r.core for r in k_core_numbers(sym).collect()}
+        dist = {
+            r.src: r.core
+            for r in k_core_numbers(sym, small_graph_edges=0).collect()
+        }
+        assert local == want
+        assert dist == want
+
+    def test_double_star_and_pendant_chain_distributed(self, spark):
+        """Two stars joined at the centers plus a pendant chain — several
+        vanish events across different phases on the distributed path."""
+        from runne_contrastive_ner_spark.operators.graph import k_core_numbers
+
+        und = (
+            [("c1", f"a{i}") for i in range(4)]
+            + [("c2", f"b{i}") for i in range(4)]
+            + [("c1", "c2"), ("b0", "t1"), ("t1", "t2")]
+        )
+        sym = _sym(spark, und)
+        naive = _kcore_naive(und)
+        dist = {
+            r.src: r.core
+            for r in k_core_numbers(sym, small_graph_edges=0).collect()
+        }
+        local = {r.src: r.core for r in k_core_numbers(sym).collect()}
+        assert dist == local == naive
+
+    def test_deep_degeneracy_round_bound(self, spark):
+        """VERDICT r5 item 6: nested cliques (K9 ⊃ shared K5 ⊃ pendant
+        path, degeneracy 8) through the distributed path — numbers equal
+        the naive peel AND the inner-round count stays within the
+        documented n_nodes + degeneracy + 1 bound."""
+        import itertools
+
+        from runne_contrastive_ner_spark.operators import graph
+        from runne_contrastive_ner_spark.operators.graph import k_core_numbers
+
+        k9 = [f"k{i}" for i in range(9)]
+        k5 = k9[:2] + [f"m{i}" for i in range(3)]
+        und = (
+            list(itertools.combinations(k9, 2))
+            + list(itertools.combinations(k5, 2))
+            + [("m0", "p0"), ("p0", "p1"), ("p1", "p2")]
+        )
+        und = sorted(set(tuple(sorted(e)) for e in und))
+        naive = _kcore_naive(und)
+        dist = {
+            r.src: r.core
+            for r in k_core_numbers(_sym(spark, und), small_graph_edges=0)
+            .collect()
+        }
+        assert dist == naive
+        degeneracy = max(naive.values())
+        assert degeneracy >= 8
+        n_nodes = len(naive)
+        assert graph._LAST_PEEL_ROUNDS <= n_nodes + degeneracy + 1

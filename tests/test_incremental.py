@@ -235,6 +235,62 @@ def test_streaming_job_tail_ingest(spark, tmp_path):
     assert s3["triples"] == want
 
 
+def test_streaming_job_crash_between_checkpoint_and_fold(spark, tmp_path):
+    """ADVICE r5 (high): if a run crashes AFTER the stream checkpoint
+    committed new batches but BEFORE the fold ran, the restart must fold
+    those batches — the skip decision keys on the persisted fold manifest,
+    not on what the restarting process observed before its own stream."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from run_streaming_pipeline import run_streaming
+
+    from runne_contrastive_ner_spark.operators.linking import canonicalize
+    from runne_contrastive_ner_spark.operators.mentions import extract_mentions
+    from runne_contrastive_ner_spark.operators.predicates import (
+        induce_predicates,
+    )
+    from runne_contrastive_ner_spark.sources.transcripts import synthesize
+    from runne_contrastive_ner_spark.streaming.incremental import (
+        streaming_mentions,
+    )
+
+    tdir = str(tmp_path / "crash_transcripts")
+    wh = str(tmp_path / "crash_wh")
+    t1 = synthesize(spark, n_convs=3, turns_per_conv=5)
+    t1.write.parquet(tdir)
+    s1 = run_streaming(spark, tdir, wh)
+    assert s1["triples"] > 0
+
+    # new files land; the stream drains them (checkpoint commits the
+    # batches) but the process "crashes" before incremental_kg_fold runs
+    t2 = synthesize(spark, n_convs=2, turns_per_conv=4).withColumn(
+        "conv_id", F.concat(F.lit("crash-"), F.col("conv_id"))
+    )
+    t2.write.mode("append").parquet(tdir)
+    q = streaming_mentions(
+        spark,
+        tdir,
+        f"{wh}/stream_mentions",
+        f"{wh}/_stream_checkpoint",
+    )
+    q.awaitTermination()
+
+    # restart: its own stream sees nothing new, but the manifest shows the
+    # crashed run's batches were never folded -> they enter the delta
+    s2 = run_streaming(spark, tdir, wh)
+    assert s2["new_batches"] >= 1
+    allt = spark.read.parquet(tdir)
+    _, _, linked = canonicalize(spark, extract_mentions(allt))
+    want = induce_predicates(linked, k=2, entity_col="entity_id").count()
+    assert s2["triples"] == want
+    assert s2["mentions"] == extract_mentions(allt).count()
+
+    # and the recovery is sticky: an idle restart now skips cleanly
+    s3 = run_streaming(spark, tdir, wh)
+    assert s3["new_batches"] == 0 and s3["triples"] == want
+
+
 class TestIncrementalFold:
     """incremental_kg_fold: delta-sized tail maintenance whose result is
     row-identical to a from-scratch batch fold (the invariant), with the
