@@ -826,9 +826,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #            ann_lsh_topk, ann_ivf_topk} + dd_{minhash_lsh_candidates,
     #            simhash_near_pairs, embedding_neardup_pairs,
     #            dedup_clusters}                        — tail in ODD rounds
-    # Round 5 (odd): group A is IN the window (its evidence is r3, the
-    # oldest), group B (green in both r3 and r4) is the tail. Any NEW query
-    # always enters inside the first 50.
+    # Round 6 (even): group B is IN the window (its evidence is r4, the
+    # oldest), group A (green in r3, r4 AND r5) is the tail. Any NEW query
+    # always enters inside the first 50, and — ADVICE r5 (medium) — so does
+    # any query whose IMPLEMENTATION or ORACLE changed in the current round:
+    # stale green evidence belongs to the old code, so a changed query must
+    # never ride the tail on it (if a tail-group query changes, swap it with
+    # an untouched member of the in-window group for that round and note the
+    # swap here). Round 6 tail check: no group-A query or its oracle was
+    # touched this round (the r6 diff touches graph/tables/linking/pipeline
+    # internals, none of which feed a rel_*/dd_* tail query).
     return {
         # KG pipeline (stages 1-5 against the derived transcripts table)
         "kg_mentions": kg_mentions,
@@ -867,26 +874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_token_quantiles": ts.token_quantiles,
         # trained k-means IVF (first driver row r4)
         "sim_ann_ivf_kmeans_topk": sim.ann_ivf_kmeans_topk,
-        # rotation group A — back in the window this round (r3 evidence)
-        "dd_exact_dup_stats": dd.exact_dup_stats,
-        "dd_ngram_jaccard_pairs": dd.ngram_jaccard_pairs,
-        "dd_minhash_signatures": dd.minhash_signatures,
-        "dd_simhash_values": dd.simhash_values,
-        "rel_event_type_freqs": rel.event_type_freqs,
-        "rel_min_freq_gate": rel.min_freq_gate,
-        "rel_pricing_summary": rel.pricing_summary,
-        "rel_top_orders_per_priority": rel.top_orders_per_priority,
-        "rel_stratified_hash_split": rel.stratified_hash_split,
-        "rel_token_array_dedup_sort": rel.token_array_dedup_sort,
-        "rel_symmetric_pair_dedup": rel.symmetric_pair_dedup,
-        "rel_seeded_sample_rollup": rel.seeded_sample_rollup,
-        "rel_region_order_rollup": rel.region_order_rollup,
-        "rel_events_within_hour_pairs": rel.events_within_hour_pairs,
-        "rel_event_transitions": rel.event_transitions,
-        "rel_sessionization": rel.sessionization,
-        # ---- registry position 51+ from here: rotation group B (green
-        # driver rows in BOTH r3 and r4 — the freshest evidence, so it
-        # rides the tail this round and returns to the window next round)
+        # rotation group B — back in the window this round (r4 evidence is
+        # now the oldest; tr_kg_negatives' r5 dense_index rewrite gets its
+        # first post-change driver row here)
         "tr_span_inventory": tr_span_inventory,
         "tr_siamese_pairs": tr_siamese_pairs,
         "tr_max_seq_len": tr_max_seq_len,
@@ -903,6 +893,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash_near_pairs": dd.simhash_near_pairs,
         "dd_embedding_neardup_pairs": dd.embedding_neardup_pairs,
         "dd_dedup_clusters": dd.dedup_clusters,
+        # ---- registry position 51+ from here: rotation group A (green
+        # driver rows in r3, r4 AND r5 — the freshest evidence, untouched
+        # by the r6 diff, so it rides the tail this round and returns to
+        # the window next round)
+        "dd_exact_dup_stats": dd.exact_dup_stats,
+        "dd_ngram_jaccard_pairs": dd.ngram_jaccard_pairs,
+        "dd_minhash_signatures": dd.minhash_signatures,
+        "dd_simhash_values": dd.simhash_values,
+        "rel_event_type_freqs": rel.event_type_freqs,
+        "rel_min_freq_gate": rel.min_freq_gate,
+        "rel_pricing_summary": rel.pricing_summary,
+        "rel_top_orders_per_priority": rel.top_orders_per_priority,
+        "rel_stratified_hash_split": rel.stratified_hash_split,
+        "rel_token_array_dedup_sort": rel.token_array_dedup_sort,
+        "rel_symmetric_pair_dedup": rel.symmetric_pair_dedup,
+        "rel_seeded_sample_rollup": rel.seeded_sample_rollup,
+        "rel_region_order_rollup": rel.region_order_rollup,
+        "rel_events_within_hour_pairs": rel.events_within_hour_pairs,
+        "rel_event_transitions": rel.event_transitions,
+        "rel_sessionization": rel.sessionization,
     }
 
 

@@ -154,12 +154,19 @@ BIGRAM_THRESHOLD = 0.72
 BIGRAM_LSH_TABLES = 16
 BIGRAM_LSH_PLANES = 12
 BIGRAM_LSH_DIM = 128
+# candidates="auto" cutover: below this many distinct surfaces the df-cap
+# bigram blocking is complete-in-practice (few bigrams exceed df_cap=1000)
+# and stays DuckDB-replayable; above it most bigrams blow any workable cap
+# and silent drops become the norm (VERDICT r4 item 4), so sign-LSH takes
+# over. 100k ≈ where a 1000-df-cap covers <50% of bigram mass on natural
+# surface-form distributions.
+BIGRAM_LSH_AUTO_NODES = 100_000
 
 
 def bigram_embedding_edges(
     nodes: DataFrame,
     threshold: float = BIGRAM_THRESHOLD,
-    dim: int = BIGRAM_DIM,
+    dim: int | None = None,
     df_cap: int = BIGRAM_DF_CAP,
     candidates: str = "bigram",
 ) -> DataFrame:
@@ -204,7 +211,36 @@ def bigram_embedding_edges(
     oracle default only because DuckDB would have to replay 192 hyperplane
     dot products per surface.
 
+    ``"auto"``: pick by dictionary size — ``"bigram"`` up to
+    BIGRAM_LSH_AUTO_NODES distinct surfaces (complete-in-practice df-cap
+    blocking, oracle-replayable), ``"lsh"`` above it (the scale where hot
+    bigrams blow any cap). Costs one bounded count() on the node table.
+
+    ``dim=None`` (default) resolves per path: BIGRAM_DIM (32, the
+    oracle-replayable size) for ``"bigram"``, BIGRAM_LSH_DIM (128, where
+    the 16x12 LSH knobs were calibrated) for ``"lsh"``. An explicit
+    ``dim < BIGRAM_LSH_DIM`` on the lsh path warns (ADVICE r5): at dim=32
+    ~96% of threshold pairs are bucket-collision artifacts, so no
+    candidate scheme is subquadratic there and silence would hide it.
+
     Everything is JVM-side builtin expressions — no Python UDF."""
+    if candidates == "auto":
+        candidates = (
+            "lsh" if nodes.count() > BIGRAM_LSH_AUTO_NODES else "bigram"
+        )
+    if dim is None:
+        dim = BIGRAM_LSH_DIM if candidates == "lsh" else BIGRAM_DIM
+    elif candidates == "lsh" and dim < BIGRAM_LSH_DIM:
+        import warnings
+
+        warnings.warn(
+            f"bigram_embedding_edges(candidates='lsh') with dim={dim} < "
+            f"BIGRAM_LSH_DIM={BIGRAM_LSH_DIM}: the 16x12 sign-LSH knobs are "
+            "calibrated at 128 dims; coarser vectors make threshold pairs "
+            "mostly bucket-collision artifacts (near-quadratic candidates "
+            "or bad recall). Pass dim=None to get the calibrated default.",
+            stacklevel=2,
+        )
     md5b = spark_md5_int_sql("b")
     base = nodes.select(
         "surface_norm",

@@ -33,6 +33,17 @@ class PipelineConfig:
     aliases: list[tuple[str, str]] = field(default_factory=lambda: list(TEST_ALIASES))
     entity_types: list[str] = field(default_factory=lambda: list(ENTITY_TYPES))
     use_embedding_edges: bool = False
+    # knobs for the embedding-edge leg (only read when use_embedding_edges):
+    # embedding_method "lsh" = hash-embedding + LSH; "bigram" = the
+    # oracle-replayable bigram count-vector cosine. bigram_candidates picks
+    # that path's candidate source: "bigram" (df-cap blocking), "lsh"
+    # (dictionary-scale sign-LSH), or "auto" (DEFAULT — sign-LSH above
+    # BIGRAM_LSH_AUTO_NODES distinct surfaces, so a production run does not
+    # silently take the silent-drop df-cap path at 10^7-surface dictionaries;
+    # VERDICT r5 item 4).
+    embedding_method: str = "lsh"
+    embedding_threshold: float | None = None
+    bigram_candidates: str = "auto"
     salt_partitions: int | None = None
     # mention/triple tables are written partitioned by this many conversation
     # hash buckets: per-conversation reads prune to one directory, and a
@@ -110,18 +121,34 @@ def run_pipeline(
         base_fp,
         sorted(cfg.aliases),
         cfg.use_embedding_edges,
+        # embedding knobs enter the fingerprint ONLY when the embedding leg
+        # is on: toggling them with use_embedding_edges=False must not
+        # invalidate an existing warehouse
+        (
+            cfg.embedding_method,
+            cfg.embedding_threshold,
+            cfg.bigram_candidates,
+        )
+        if cfg.use_embedding_edges
+        else None,
         cfg.bucket_link_tables and cfg.link_buckets,
     )
     # linking + CC produce two tables from one computation; build once, stage twice
     state: dict[str, DataFrame] = {}
 
-    def build_linked():
-        entities, edges, linked = canonicalize(
+    def _canonicalize():
+        return canonicalize(
             spark,
             mentions,
             aliases=cfg.aliases,
             use_embedding_edges=cfg.use_embedding_edges,
+            embedding_threshold=cfg.embedding_threshold,
+            embedding_method=cfg.embedding_method,
+            bigram_candidates=cfg.bigram_candidates,
         )
+
+    def build_linked():
+        entities, edges, linked = _canonicalize()
         state["edges"] = edges
         state["linked"] = linked
         return entities
@@ -136,10 +163,7 @@ def run_pipeline(
     edges = runner.run(
         "edges",
         link_fp,
-        lambda: state.get("edges")
-        if "edges" in state
-        else canonicalize(spark, mentions, aliases=cfg.aliases,
-                          use_embedding_edges=cfg.use_embedding_edges)[1],
+        lambda: state["edges"] if "edges" in state else _canonicalize()[1],
     )
 
     def build_triples():

@@ -208,45 +208,58 @@ class TableIO:
                 f"snapshot fallback supports mode='overwrite' only (got {mode!r}); "
                 "use merge() for upserts"
             )
+        with self._writer_lock(table):
+            self._write_locked(df, table, partition_cols, bucket_spec)
+
+    def _write_locked(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_cols: list[str] | None = None,
+        bucket_spec: dict | None = None,
+    ) -> None:
+        """Snapshot write body; caller MUST hold ``_writer_lock(table)``
+        (flock is not re-entrant across file handles, so merge() — which
+        needs read + anti-join + write as ONE critical section — enters
+        here directly under its own single lock acquisition)."""
         import shutil
 
-        with self._writer_lock(table):
-            root = self.path(table)
-            cur = self.current_version(table)
-            v = 0 if cur is None else cur + 1
-            target = self.data_path(table, v)
-            if bucket_spec is not None:
-                self._write_bucketed_snapshot(df, table, v, target, bucket_spec)
-            else:
-                writer = df.write.mode("overwrite")  # target is always fresh
-                if partition_cols:
-                    writer = writer.partitionBy(*partition_cols)
-                writer.parquet(target)
-            if (partition_cols or bucket_spec) and not self._has_data_files(target):
-                # a partitionBy/bucketBy write of an EMPTY DataFrame emits
-                # _SUCCESS but no data files, which breaks schema inference
-                # on read-back; rewrite the empty snapshot unpartitioned (and
-                # drop the bucketspec — no co-location claim over zero files)
-                df.limit(0).write.mode("overwrite").parquet(target)
-                spec_path = os.path.join(target, "_bucketspec.json")
-                if os.path.exists(spec_path):
-                    os.remove(spec_path)
-            # atomic pointer switch: the snapshot becomes visible only here
-            tmp = self._pointer_path(table) + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(str(v))
-            os.replace(tmp, self._pointer_path(table))
-            # GC snapshots older than the previous one (+ registrations)
-            for name in os.listdir(root):
-                if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < v - 1:
-                    shutil.rmtree(os.path.join(root, name), ignore_errors=True)
-                    try:
-                        self.spark.sql(
-                            "DROP TABLE IF EXISTS "
-                            + self._bucket_table_name(table, int(name[1:]))
-                        )
-                    except Exception:
-                        pass
+        root = self.path(table)
+        cur = self.current_version(table)
+        v = 0 if cur is None else cur + 1
+        target = self.data_path(table, v)
+        if bucket_spec is not None:
+            self._write_bucketed_snapshot(df, table, v, target, bucket_spec)
+        else:
+            writer = df.write.mode("overwrite")  # target is always fresh
+            if partition_cols:
+                writer = writer.partitionBy(*partition_cols)
+            writer.parquet(target)
+        if (partition_cols or bucket_spec) and not self._has_data_files(target):
+            # a partitionBy/bucketBy write of an EMPTY DataFrame emits
+            # _SUCCESS but no data files, which breaks schema inference
+            # on read-back; rewrite the empty snapshot unpartitioned (and
+            # drop the bucketspec — no co-location claim over zero files)
+            df.limit(0).write.mode("overwrite").parquet(target)
+            spec_path = os.path.join(target, "_bucketspec.json")
+            if os.path.exists(spec_path):
+                os.remove(spec_path)
+        # atomic pointer switch: the snapshot becomes visible only here
+        tmp = self._pointer_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer_path(table))
+        # GC snapshots older than the previous one (+ registrations)
+        for name in os.listdir(root):
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < v - 1:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                try:
+                    self.spark.sql(
+                        "DROP TABLE IF EXISTS "
+                        + self._bucket_table_name(table, int(name[1:]))
+                    )
+                except Exception:
+                    pass
 
     def _write_bucketed_snapshot(
         self, df: DataFrame, table: str, version: int, target: str, spec: dict
@@ -342,7 +355,7 @@ class TableIO:
             return self.spark.table(bucketed)
         return self.spark.read.parquet(p)
 
-    def _merge_pruned(
+    def _merge_pruned_locked(
         self,
         table: str,
         updates: DataFrame,
@@ -363,21 +376,10 @@ class TableIO:
         the partition-pruned anti-join equals the global one.
 
         Returns False when the current snapshot is not laid out by
-        ``partition_cols`` (caller falls back to the full rewrite)."""
-        if len(partition_cols) != 1:
-            return False  # single-level partition layout only
-        with self._writer_lock(table):
-            return self._merge_pruned_locked(
-                table, updates, key_cols, partition_cols
-            )
-
-    def _merge_pruned_locked(
-        self,
-        table: str,
-        updates: DataFrame,
-        key_cols: list[str],
-        partition_cols: list[str],
-    ) -> bool:
+        ``partition_cols`` (caller falls back to the full rewrite WITHOUT
+        releasing the lock — merge() holds one ``_writer_lock`` across the
+        attempt and the fallback; only single-level layouts are supported,
+        which merge() checks before entering)."""
         import shutil
 
         src = self.data_path(table)
@@ -469,34 +471,63 @@ class TableIO:
         partition-scoped path: only affected partition dirs are rewritten,
         unaffected ones hardlink into the new snapshot (``_merge_pruned``) —
         the delta-sized write the incremental streaming fold needs.
-        """
-        if not self.exists(table):
-            self.write(updates, table, partition_cols=partition_cols)
-            return
-        if prune_partitions and partition_cols and not self.use_iceberg:
-            if self._merge_pruned(table, updates, key_cols, partition_cols):
-                return
-        current = self.read(table)
-        # a bucketed table stays bucketed through MERGE (Iceberg's bucket
-        # transform is a table property; the fallback re-reads the spec)
-        spec = None
-        spec_path = os.path.join(self.data_path(table), "_bucketspec.json")
-        if os.path.exists(spec_path):
-            import json
 
-            with open(spec_path) as f:
-                spec = {
-                    k: v for k, v in json.load(f).items() if k != "schema_ddl"
-                }
-        kept = current.join(
-            updates.select(*key_cols).distinct(), key_cols, "left_anti"
-        )
-        self.write(
-            kept.unionByName(updates.select(*current.columns)),
-            table,
-            partition_cols=partition_cols,
-            bucket_spec=spec,
-        )
+        The whole merge (existence probe, pruned attempt, read, anti-join,
+        write) runs under ONE ``_writer_lock`` acquisition (ADVICE r5): a
+        pruned attempt that falls back must not release the lock between
+        reading snapshot v and writing v+1, or two concurrent merges can
+        both read v and the second write silently drops the first's updates.
+        """
+        if self.use_iceberg:  # pragma: no cover — iceberg CAS serializes
+            if not self.exists(table):
+                self.write(updates, table, partition_cols=partition_cols)
+                return
+            current = self.read(table)
+            kept = current.join(
+                updates.select(*key_cols).distinct(), key_cols, "left_anti"
+            )
+            self.write(
+                kept.unionByName(updates.select(*current.columns)),
+                table,
+                partition_cols=partition_cols,
+            )
+            return
+        with self._writer_lock(table):
+            if not self.exists(table):
+                self._write_locked(updates, table, partition_cols=partition_cols)
+                return
+            if (
+                prune_partitions
+                and partition_cols
+                and len(partition_cols) == 1
+                and self._merge_pruned_locked(
+                    table, updates, key_cols, partition_cols
+                )
+            ):
+                return
+            current = self.read(table)
+            # a bucketed table stays bucketed through MERGE (Iceberg's bucket
+            # transform is a table property; the fallback re-reads the spec)
+            spec = None
+            spec_path = os.path.join(self.data_path(table), "_bucketspec.json")
+            if os.path.exists(spec_path):
+                import json
+
+                with open(spec_path) as f:
+                    spec = {
+                        k: v
+                        for k, v in json.load(f).items()
+                        if k != "schema_ddl"
+                    }
+            kept = current.join(
+                updates.select(*key_cols).distinct(), key_cols, "left_anti"
+            )
+            self._write_locked(
+                kept.unionByName(updates.select(*current.columns)),
+                table,
+                partition_cols=partition_cols,
+                bucket_spec=spec,
+            )
 
     def exists(self, table: str) -> bool:
         if self.use_iceberg:  # pragma: no cover

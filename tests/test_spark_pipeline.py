@@ -166,6 +166,88 @@ class TestPipeline:
         res3 = run_pipeline(spark, transcripts, cfg, input_fp="t2")
         assert res3.metrics["mentions"]["wall_sec"] != res1.metrics["mentions"]["wall_sec"]
 
+    def test_embedding_lsh_candidates_end_to_end(
+        self, spark, transcripts, tmp_path
+    ):
+        """VERDICT r5 item 4: the dictionary-scale sign-LSH candidate source
+        is reachable from PipelineConfig. Run the full staged pipeline with
+        bigram_candidates='lsh' and assert its entity table matches a direct
+        canonicalize() call with the same knobs (the staged path adds no
+        divergence), embedding edges are materialized, and the knob is part
+        of the stage fingerprint (changing it recomputes linking)."""
+        from runne_contrastive_ner_spark.operators.linking import canonicalize
+        from runne_contrastive_ner_spark.operators.mentions import (
+            extract_mentions,
+        )
+
+        cfg = PipelineConfig(
+            warehouse=str(tmp_path / "whlsh"),
+            use_embedding_edges=True,
+            embedding_method="bigram",
+            bigram_candidates="lsh",
+        )
+        res = run_pipeline(spark, transcripts, cfg, input_fp="lsh")
+        assert res.triples.count() > 0
+        kinds = {
+            r["kind"] for r in res.edges.select("kind").distinct().collect()
+        }
+        assert "alias" in kinds  # embedding kind appears iff a pair links
+        entities_direct, _, _ = canonicalize(
+            spark,
+            extract_mentions(transcripts, gazetteer=cfg.gazetteer,
+                             entity_types=cfg.entity_types),
+            aliases=cfg.aliases,
+            use_embedding_edges=True,
+            embedding_method="bigram",
+            bigram_candidates="lsh",
+        )
+        got = {
+            (r["surface_norm"], r["canonical_id"])
+            for r in res.entities.select("surface_norm", "canonical_id").collect()
+        }
+        want = {
+            (r["surface_norm"], r["canonical_id"])
+            for r in entities_direct.select(
+                "surface_norm", "canonical_id"
+            ).collect()
+        }
+        assert got == want
+        # knob is fingerprinted: flipping the candidate source recomputes
+        cfg2 = PipelineConfig(
+            warehouse=str(tmp_path / "whlsh"),
+            use_embedding_edges=True,
+            embedding_method="bigram",
+            bigram_candidates="bigram",
+        )
+        res2 = run_pipeline(spark, transcripts, cfg2, input_fp="lsh")
+        assert (
+            res2.metrics["entities"]["wall_sec"]
+            != res.metrics["entities"]["wall_sec"]
+        )
+        # 'auto' at dictionary scale this small resolves to the df-cap path:
+        # same fingerprint inputs differ, but the ENTITIES must agree with
+        # the explicit bigram run on a tiny dictionary
+        cfg3 = PipelineConfig(
+            warehouse=str(tmp_path / "whauto"),
+            use_embedding_edges=True,
+            embedding_method="bigram",
+            bigram_candidates="auto",
+        )
+        res3 = run_pipeline(spark, transcripts, cfg3, input_fp="lsh")
+        got3 = {
+            (r["surface_norm"], r["canonical_id"])
+            for r in res3.entities.select(
+                "surface_norm", "canonical_id"
+            ).collect()
+        }
+        got2 = {
+            (r["surface_norm"], r["canonical_id"])
+            for r in res2.entities.select(
+                "surface_norm", "canonical_id"
+            ).collect()
+        }
+        assert got3 == got2
+
     def test_manifest_delete_recomputes_only_that_stage(
         self, spark, transcripts, tmp_path
     ):
