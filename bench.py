@@ -103,20 +103,22 @@ def main():
     # warm the JVM/Python workers once so timings measure the operators
     queries["rel_min_freq_gate"](spark, sf_dir).count()
 
-    # best-of-2 per query: this host shows noisy-neighbor periods (observed
-    # back-to-back full-bench walls of 16.3s / 31.5s / 19.0s on identical
-    # code), and min-of-N is the standard way to report the operator cost
-    # rather than the interference. The kg_* lineage memo is released
-    # between reps so the second rep re-computes honestly.
+    # median-of-3 per query (VERDICT r5 item 2): this host shows
+    # noisy-neighbor periods (observed back-to-back full-bench walls of
+    # 16.3s / 31.5s / 19.0s on identical code; the r5 judge measured the
+    # same query at 14.9s cold / 0.28s warm under load). Median of three
+    # reps is robust to a single interfered rep without hiding a genuine
+    # regression the way min-of-N can; the raw reps stay in the JSON so a
+    # reader can recompute min/max. The kg_* lineage memo is released
+    # between reps so every rep re-computes honestly.
     reps_raw: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for rep in range(2):
+    for _rep in range(3):
         entry_mod.release_linked()
         for name in HEADLINE:
             sec, n = run_query(queries[name], spark, sf_dir)
             reps_raw[name].append(round(sec, 3))
-            if rep == 0 or sec < timings[name]:
-                timings[name] = round(sec, 3)
             counts[name] = n
+    timings = {name: sorted(r)[1] for name, r in reps_raw.items()}
     total = sum(timings.values())
 
     # flagship throughput: turns/sec through the full mention→link→triple

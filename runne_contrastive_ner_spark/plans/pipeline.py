@@ -66,6 +66,40 @@ class PipelineConfig:
     pagerank_iterations: int = 3
 
 
+def analytics_table(triples: DataFrame, pagerank_iterations: int = 3) -> DataFrame:
+    """One analytics row per entity: centrality + triangle participation +
+    community label + core number, all over the SAME materialized edge list
+    (checkpointed once inside each operator; the four are independent
+    equi-join/groupBy chains folded by a 4-way left join on the entity id).
+    Module-level so the plan audit (tools/explain_audit.py) explains the
+    exact fold the analytics stage materializes."""
+    from ..operators.graph import (
+        cooccurrence_edges,
+        k_core_numbers,
+        label_propagation,
+        pagerank,
+        triangle_counts,
+    )
+
+    edges_g = cooccurrence_edges(triples)
+    pr = pagerank(edges_g, iterations=pagerank_iterations)
+    tri = triangle_counts(edges_g)
+    comm = label_propagation(edges_g, iterations=4)
+    core = k_core_numbers(edges_g)
+    return (
+        pr.join(tri, "src", "left")
+        .join(comm, "src", "left")
+        .join(core, "src", "left")
+        .select(
+            F.col("src").alias("entity_id"),
+            "pr_q",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.coalesce("community", F.col("src")).alias("community"),
+            F.coalesce("core", F.lit(0)).cast("long").alias("core"),
+        )
+    )
+
+
 @dataclass
 class PipelineResult:
     mentions: DataFrame
@@ -192,38 +226,9 @@ def run_pipeline(
 
     analytics = None
     if cfg.analytics:
-        from ..operators.graph import (
-            cooccurrence_edges,
-            k_core_numbers,
-            label_propagation,
-            pagerank,
-            triangle_counts,
-        )
 
         def build_analytics():
-            # one analytics row per entity: centrality + triangle
-            # participation + community label + core number, all over the
-            # SAME materialized edge list (checkpointed once inside each
-            # operator; the four are independent equi-join/groupBy chains)
-            edges_g = cooccurrence_edges(triples)
-            pr = pagerank(edges_g, iterations=cfg.pagerank_iterations)
-            tri = triangle_counts(edges_g)
-            comm = label_propagation(edges_g, iterations=4)
-            core = k_core_numbers(edges_g)
-            return (
-                pr.join(tri, "src", "left")
-                .join(comm, "src", "left")
-                .join(core, "src", "left")
-                .select(
-                    F.col("src").alias("entity_id"),
-                    "pr_q",
-                    F.coalesce("n_triangles", F.lit(0))
-                    .cast("long")
-                    .alias("n_triangles"),
-                    F.coalesce("community", F.col("src")).alias("community"),
-                    F.coalesce("core", F.lit(0)).cast("long").alias("core"),
-                )
-            )
+            return analytics_table(triples, cfg.pagerank_iterations)
 
         analytics = runner.run(
             "analytics",

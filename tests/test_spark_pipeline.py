@@ -987,8 +987,61 @@ class TestRdfAndViews:
         ) as f:
             line = f.readline().strip()
         assert line.startswith("<urn:kg:ent:") and line.endswith("> .")
-        got = {tuple(r) for r in read_ntriples(spark, path).collect()}
+        back = read_ntriples(spark, path)
+        got = {
+            tuple(r) for r in back.select("subj", "pred", "obj").collect()
+        }
         assert got == want
+        kinds = {r["obj_kind"] for r in back.select("obj_kind").distinct().collect()}
+        assert kinds == {"iri"}
+
+    def test_ntriples_typed_literals_roundtrip(self, spark, tmp_path):
+        """VERDICT r5 item 7: attribute-style triples — (entity, pred,
+        typed literal) — export and scan back losslessly, including string
+        literals needing every escape the grammar defines, mixed in the
+        same file as IRI-object triples."""
+        from runne_contrastive_ner_spark.sources.rdf import (
+            attribute_triples,
+            read_ntriples,
+            write_ntriples,
+        )
+
+        stats = spark.createDataFrame(
+            [
+                ("anna", 7, 0.125, 'say "hi"\tnow'),
+                ("b\\slash", 42, -1.5, "line1\nline2"),
+                ("plain", 0, 2.0, "no escapes"),
+            ],
+            "entity_id string, n_triangles int, pr double, note string",
+        )
+        lits = attribute_triples(
+            stats, "entity_id", ["n_triangles", "pr", "note"]
+        )
+        iris = spark.createDataFrame(
+            [("anna", "knows", "plain", "iri")],
+            "subj string, pred string, obj string, obj_kind string",
+        )
+        path = str(tmp_path / "nt_lit")
+        write_ntriples(lits.unionByName(iris), path)
+        # spec shape: a typed-literal line carries the xsd IRI
+        text = "\n".join(
+            open(str(p)).read()
+            for p in (tmp_path / "nt_lit").iterdir()
+            if p.name.startswith("part-")
+        )
+        assert '"^^<http://www.w3.org/2001/XMLSchema#long>' in text
+        assert '"^^<http://www.w3.org/2001/XMLSchema#double>' in text
+        assert '\\"hi\\"' in text  # escaped quotes on disk
+        back = read_ntriples(spark, path)
+        got = {tuple(r) for r in back.collect()}
+        want = {tuple(r) for r in lits.unionByName(iris).collect()}
+        assert got == want
+        # typed literals cast back to their value domain
+        longs = {
+            (r["subj"], int(r["obj"]))
+            for r in back.filter("obj_kind = 'long'").collect()
+        }
+        assert longs == {("anna", 7), ("b\\slash", 42), ("plain", 0)}
 
     def test_register_kg_views(self, spark, transcripts, tmp_path):
         from runne_contrastive_ner_spark.plans.views import register_kg_views

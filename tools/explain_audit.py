@@ -162,6 +162,108 @@ def resume_fold_plan(spark, sf_dir: str) -> tuple[str, dict]:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def kcore_round_plan(spark) -> tuple[dict, str]:
+    """One inner round of k_core_numbers' distributed phase-peeling
+    (operators/graph.py), UNtruncated by the per-round localCheckpoints the
+    real loop inserts — the worst-case per-round shape: degree groupBy,
+    low/kept split, double anti-join edge removal, vanished-node detection.
+    Everything keys on the node id; no cartesian stage may appear and the
+    exchange count is bounded (the loop's job count is rounds x this)."""
+    from pyspark.sql import functions as F
+
+    edges = (
+        spark.range(4000)
+        .selectExpr(
+            "cast(id % 911 as string) src", "cast((id * 7) % 911 as string) dst"
+        )
+        .filter("src <> dst")
+        .localCheckpoint(eager=True)
+    )
+    k = 2
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    low = deg.filter(F.col("d") < k).select("src")
+    kept = deg.filter(F.col("d") >= k).select("src")
+    next_rem = (
+        edges.join(low, "src", "left_anti")
+        .join(low.withColumnRenamed("src", "dst"), "dst", "left_anti")
+        .select("src", "dst")
+    )
+    vanished = kept.join(next_rem, "src", "left_anti")
+    plan = plan_of(vanished)
+    return summarize(plan), plan
+
+
+def analytics_fold_plan(spark, sf_dir: str) -> tuple[dict, str]:
+    """The analytics stage's 4-way fold (plans/pipeline.analytics_table):
+    pagerank x triangles x communities x k-core joined on the entity id.
+    In the product path the stage input is the MATERIALIZED triples table
+    (runner.run re-reads the warehouse snapshot), so the audit emulates
+    that with an eager checkpoint; each operator then checkpoints its
+    neighbor lists, leaving the fold as the operators' own agg/join chains
+    — no replayed extraction lineage."""
+    from runne_contrastive_ner_spark.plans.pipeline import analytics_table
+
+    triples = entry_mod.queries()["kg_triples"](spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    fold = analytics_table(triples, pagerank_iterations=2)
+    plan = plan_of(fold)
+    return summarize(plan), plan
+
+
+def ntriples_plans(spark, sf_dir: str) -> list[tuple[str, dict, str]]:
+    """N-Triples export/scan (sources/rdf.py): the write's line set must be
+    one distinct Exchange + a codegen'd projection; the scan must be a
+    distributed text read + regexp extraction with zero joins for the IRI
+    leg and one union for the literal leg — no Python stage in either."""
+    import shutil
+    import tempfile
+
+    from runne_contrastive_ner_spark.sources.rdf import (
+        ntriples_lines,
+        read_ntriples,
+        write_ntriples,
+    )
+
+    # the CLI exports the MATERIALIZED triple table (run_kg_pipeline reads
+    # the warehouse snapshot, not the live extraction lineage) — emulate
+    # with an eager checkpoint so the audited shape is the export's own
+    triples = (
+        entry_mod.queries()["kg_triples"](spark, sf_dir)
+        .selectExpr(
+            "cast(subj as string) subj", "pred", "cast(obj as string) obj"
+        )
+        .localCheckpoint(eager=True)
+    )
+    wplan = plan_of(ntriples_lines(triples))
+    out = [("ntriples_write_lines", summarize(wplan), wplan)]
+    d = tempfile.mkdtemp(prefix="audit_nt_")
+    try:
+        with contextlib.redirect_stdout(io.StringIO()):
+            write_ntriples(triples.limit(1000), d + "/nt")
+        rplan = plan_of(read_ntriples(spark, d + "/nt"))
+        out.append(("ntriples_read", summarize(rplan), rplan))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+# exchange ceilings for the special (non-registry) audited shapes, same
+# ~25% headroom discipline as EXCHANGE_BOUNDS. analytics_stage_fold's 44
+# measured exchanges decompose per branch as pagerank@2it=10 +
+# triangles=2 + label_propagation@4it=18 + k_core(per-k parts union)=14
+# — each a FIXED function of iteration counts / degeneracy over the
+# checkpointed neighbor lists, independent of data volume; the bound
+# catches a lineage leak (which showed as 102+ when the raw extraction
+# lineage leaked into the ntriples audit), not plan drift.
+SPECIAL_EXCHANGE_BOUNDS = {
+    "kcore_peel_round": 8,
+    "analytics_stage_fold": 55,
+    "ntriples_write_lines": 4,
+    "ntriples_read": 4,
+}
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     # audit the DISTRIBUTED graph plans (the 100 TB shapes), not the
@@ -189,6 +291,19 @@ def main():
     print("pipeline_resume_fold", {k: v for k, v in fold_s.items() if k != "scan_schemas"})
     if fold_s["surface_norm_exchange"]:
         failures.append("pipeline_resume_fold (surface_norm Exchange present)")
+    # r5-shape audits (VERDICT r5 item 3): k-core peel round, analytics
+    # 4-way fold, N-Triples write/read — same cartesian + exchange tripwires
+    specials = [("kcore_peel_round",) + kcore_round_plan(spark),
+                ("analytics_stage_fold",) + analytics_fold_plan(spark, sf_dir)]
+    specials += ntriples_plans(spark, sf_dir)
+    for name, s, plan in specials:
+        sections.append((name, s, plan))
+        print(name, {k: v for k, v in s.items() if k != "scan_schemas"})
+        if s["cartesian_stages"]:
+            failures.append(f"{name} (cartesian stage)")
+        bound = SPECIAL_EXCHANGE_BOUNDS.get(name)
+        if bound is not None and s["exchanges"] > bound:
+            failures.append(f"{name} (exchanges {s['exchanges']} > {bound})")
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS.md — physical-plan audit of headline queries\n\n"
