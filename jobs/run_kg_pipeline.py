@@ -47,7 +47,9 @@ def main() -> None:
         default=None,
         help="after the run, export the distinct (subj, pred, obj) triple "
         "set as W3C N-Triples text at PATH (sources/rdf.py) for loading "
-        "into any RDF store",
+        "into any RDF store; with --analytics the per-entity analytics "
+        "facts (pagerank, triangles, community, core) are exported into "
+        "the same file set as typed-literal / IRI attribute triples",
     )
     args = ap.parse_args()
 
@@ -90,9 +92,11 @@ def main() -> None:
             for stage in ("mentions", "triples")
         }
     if args.export_ntriples:
-        from runne_contrastive_ner_spark.sources.rdf import write_ntriples
+        from runne_contrastive_ner_spark.sources.rdf import kg_export, write_ntriples
 
-        write_ntriples(result.triples, args.export_ntriples)
+        write_ntriples(
+            kg_export(result.triples, result.analytics), args.export_ntriples
+        )
         out["ntriples_path"] = args.export_ntriples
     print(json.dumps(out))
     spark.stop()

@@ -168,6 +168,31 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     return iri_rows.unionByName(lit_rows)
 
 
+def kg_export(triples: DataFrame, analytics: DataFrame | None = None) -> DataFrame:
+    """The full KG export line-set source (the CLI's ``--export-ntriples``):
+    relation triples as entity-IRI objects, plus — when the analytics table
+    is materialized — per-entity facts as attribute triples (pagerank /
+    triangle / core counts as typed literals; the community label as an IRI
+    object, since it IS an entity id stores can join back to the graph)."""
+    rel = triples.select(
+        F.col("subj").cast("string").alias("subj"),
+        F.col("pred").cast("string").alias("pred"),
+        F.col("obj").cast("string").alias("obj"),
+        F.lit("iri").alias("obj_kind"),
+    )
+    if analytics is None:
+        return rel
+    attrs = attribute_triples(
+        analytics, "entity_id", ["pr_q", "n_triangles", "community", "core"]
+    ).withColumn(
+        "obj_kind",
+        F.when(F.col("pred") == "community", F.lit("iri")).otherwise(
+            F.col("obj_kind")
+        ),
+    )
+    return rel.unionByName(attrs)
+
+
 def attribute_triples(
     df: DataFrame, subj_col: str, attr_cols: list[str]
 ) -> DataFrame:

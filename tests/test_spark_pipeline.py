@@ -1043,6 +1043,48 @@ class TestRdfAndViews:
         }
         assert longs == {("anna", 7), ("b\\slash", 42), ("plain", 0)}
 
+    def test_kg_export_with_analytics(self, spark, tmp_path):
+        """The CLI's --export-ntriples --analytics composition: relation
+        triples as IRI objects plus analytics facts, community serialized
+        as an IRI (it is an entity id), counts as typed literals — one file
+        set, lossless scan-back."""
+        from runne_contrastive_ner_spark.sources.rdf import (
+            kg_export,
+            read_ntriples,
+            write_ntriples,
+        )
+
+        triples = spark.createDataFrame(
+            [("anna", "knows", "bob"), ("bob", "mentions", "acme corp")],
+            "subj string, pred string, obj string",
+        )
+        analytics = spark.createDataFrame(
+            [("anna", 120, 1, "anna", 2), ("bob", 80, 0, "anna", 1)],
+            "entity_id string, pr_q long, n_triangles long, "
+            "community string, core long",
+        )
+        path = str(tmp_path / "nt_kg")
+        write_ntriples(kg_export(triples, analytics), path)
+        back = read_ntriples(spark, path)
+        by_kind = {
+            r["obj_kind"]: r["n"]
+            for r in back.groupBy("obj_kind").agg(F.count("*").alias("n")).collect()
+        }
+        # 2 relation IRIs + 2 community IRIs; 2x3 numeric literals
+        assert by_kind == {"iri": 4, "long": 6}
+        comm = {
+            (r["subj"], r["obj"])
+            for r in back.filter("pred = 'community'").collect()
+        }
+        assert comm == {("anna", "anna"), ("bob", "anna")}
+        # relation-only export stays the original all-IRI contract
+        write_ntriples(kg_export(triples), path)
+        kinds = {
+            r["obj_kind"]
+            for r in read_ntriples(spark, path).select("obj_kind").distinct().collect()
+        }
+        assert kinds == {"iri"}
+
     def test_register_kg_views(self, spark, transcripts, tmp_path):
         from runne_contrastive_ner_spark.plans.views import register_kg_views
 
