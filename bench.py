@@ -47,13 +47,16 @@ def run_query(q, spark, sf_dir) -> tuple[float, int]:
     return time.time() - t0, n
 
 
-def scorer_kernel_bench() -> float:
+def scorer_kernel_bench(dtype="float64") -> float:
     """numpy-BERT scorer kernel: windows/sec for one partition's batched
     forward (the score_pieces_batch path the extraction hot loop uses).
     Synthetic bundle at a mid-size shape (hidden 128, 4 layers, window
     128) — an architecture-relative number, not a trained-model claim.
-    Runs BEFORE the Spark session exists: measured after a full bench the
-    same call reads 30-40x slower from JVM/worker memory+CPU contention."""
+    Measured at BOTH widths: float64 (the historical series) and float32
+    (the production TransformerScorer path since round 6 — TF's width,
+    ~2x sgemm throughput). Runs BEFORE the Spark session exists: measured
+    after a full bench the same call reads 30-40x slower from JVM/worker
+    memory+CPU contention."""
     import numpy as np
 
     from runne_contrastive_ner_spark.functions.bert_numpy import (
@@ -70,7 +73,7 @@ def scorer_kernel_bench() -> float:
         max_pos=128,
         ffn=256,
     )
-    model = NumpyBertNer(sw, ["PERSON", "ORGANIZATION", "LOCATION"])
+    model = NumpyBertNer(sw, ["PERSON", "ORGANIZATION", "LOCATION"], dtype=dtype)
     rng = np.random.default_rng(7)
     wins = rng.integers(4, 1000, size=(64, 128)).tolist()
     model.batch(wins)  # warm
@@ -97,6 +100,7 @@ def main():
     except (AttributeError, OSError):
         pass  # non-Linux or restricted: run unpinned
     scorer_windows_sec = scorer_kernel_bench()
+    scorer_windows_sec_f32 = scorer_kernel_bench(dtype="float32")
     spark = build_session(app_name="bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -239,6 +243,7 @@ def main():
         "pipeline_skip_sec": round(pipeline_skip, 3),
         "query_reps_sec": reps_raw,
         "scorer_batch_windows_per_sec": scorer_windows_sec,
+        "scorer_batch_windows_per_sec_f32": scorer_windows_sec_f32,
         "stream_cold_sec": round(stream_cold, 3),
         "stream_tail_sec": round(stream_tail, 3),
         "stream_cold_batches": stats_cold["new_batches"],

@@ -115,8 +115,12 @@ def _erf(x: np.ndarray) -> np.ndarray:
 
 
 def gelu(x: np.ndarray) -> np.ndarray:
-    """Exact (erf) GELU — BertConfig hidden_act='gelu'."""
-    return 0.5 * x * (1.0 + _erf(x / math.sqrt(2.0)))
+    """Exact (erf) GELU — BertConfig hidden_act='gelu'. erf is evaluated in
+    float64 (the Cody coefficients are float64-calibrated) and cast back, so
+    a float32 activation stream stays float32 end-to-end."""
+    x = np.asarray(x)
+    e = _erf(x / math.sqrt(2.0)).astype(x.dtype, copy=False)
+    return 0.5 * x * (1.0 + e)
 
 
 def layer_norm(x: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -137,10 +141,20 @@ class NumpyBertNer:
     ``__call__(ids) -> logits [n_types, seq_len, 5]`` for one sequence of
     token ids (python list or int array). Dropout is inference-mode
     (identity), exactly like the reference's ``model.predict``.
+
+    ``dtype`` selects the arithmetic width: float64 (default — what the
+    numeric cross-check tests pin) or float32, which is what the
+    reference's TF runtime actually computes in AND roughly halves the
+    matmul wall (sgemm vs dgemm + half the memory traffic); the production
+    scorer path loads bundles at float32. erf stays float64 internally
+    either way (see ``gelu``).
     """
 
-    def __init__(self, weights: dict, entity_types: list[str]):
-        self.w = {k: np.asarray(v, dtype=np.float64) for k, v in weights.items()}
+    def __init__(self, weights: dict, entity_types: list[str], dtype=np.float64):
+        self.dtype = np.dtype(dtype)
+        if self.dtype not in (np.dtype(np.float64), np.dtype(np.float32)):
+            raise ValueError(f"dtype must be float32 or float64, got {dtype}")
+        self.w = {k: np.asarray(v, dtype=self.dtype) for k, v in weights.items()}
         meta = self.w["meta"].astype(int)
         self.n_layers, self.n_heads, self.pad_id = (
             int(meta[0]),
@@ -179,7 +193,7 @@ class NumpyBertNer:
         n = len(ids)
         x = w["emb.word"][ids] + w["emb.pos"][:n] + w["emb.type"][0]
         x = layer_norm(x, w["emb.ln.g"], w["emb.ln.b"])
-        add_mask = np.where(ids == self.pad_id, -1e9, 0.0)
+        add_mask = np.where(ids == self.pad_id, -1e9, 0.0).astype(self.dtype)
         for i in range(self.n_layers):
             a = self._attention(x, i, add_mask)
             x = layer_norm(x + a, w[f"layer{i}.ln1.g"], w[f"layer{i}.ln1.b"])
@@ -192,8 +206,8 @@ class NumpyBertNer:
         ids = np.asarray(ids, dtype=np.int64)
         seq = self.encode(ids)
         # MaskCalculator + Multiply: zero out pad positions BEFORE the heads
-        seq = seq * (ids != self.pad_id).astype(np.float64)[:, None]
-        out = np.empty((len(self.entity_types), len(ids), 5), dtype=np.float64)
+        seq = seq * (ids != self.pad_id).astype(self.dtype)[:, None]
+        out = np.empty((len(self.entity_types), len(ids), 5), dtype=self.dtype)
         for t_idx, t in enumerate(self.entity_types):
             out[t_idx] = seq @ self.w[f"head.{t}.w"] + self.w[f"head.{t}.b"]
         return out
@@ -234,14 +248,14 @@ class NumpyBertNer:
         bsz, n = ids.shape
         x = w["emb.word"][ids] + w["emb.pos"][:n][None, :, :] + w["emb.type"][0]
         x = layer_norm(x, w["emb.ln.g"], w["emb.ln.b"])
-        add_mask = np.where(ids == self.pad_id, -1e9, 0.0)  # [B, n]
+        add_mask = np.where(ids == self.pad_id, -1e9, 0.0).astype(self.dtype)  # [B, n]
         for i in range(self.n_layers):
             a = self._attention_batch(x, i, add_mask)
             x = layer_norm(x + a, w[f"layer{i}.ln1.g"], w[f"layer{i}.ln1.b"])
             f = gelu(x @ w[f"layer{i}.ffn1.w"] + w[f"layer{i}.ffn1.b"])
             f = f @ w[f"layer{i}.ffn2.w"] + w[f"layer{i}.ffn2.b"]
             x = layer_norm(x + f, w[f"layer{i}.ln2.g"], w[f"layer{i}.ln2.b"])
-        x = x * (ids != self.pad_id).astype(np.float64)[:, :, None]
+        x = x * (ids != self.pad_id).astype(self.dtype)[:, :, None]
         out = np.stack(
             [
                 x @ self.w[f"head.{t}.w"] + self.w[f"head.{t}.b"]
@@ -333,6 +347,8 @@ def synthetic_bundle(
     return w
 
 
-def load_bundle(npz_path: str, entity_types: list[str]) -> NumpyBertNer:
+def load_bundle(
+    npz_path: str, entity_types: list[str], dtype=np.float64
+) -> NumpyBertNer:
     with np.load(npz_path) as z:
-        return NumpyBertNer({k: z[k] for k in z.files}, entity_types)
+        return NumpyBertNer({k: z[k] for k in z.files}, entity_types, dtype=dtype)

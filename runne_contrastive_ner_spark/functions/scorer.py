@@ -310,7 +310,10 @@ class TransformerScorer(Scorer):
                 load_vocab_ids,
             )
 
-            bundle = load_bundle(npz_path, self.entity_types)
+            # float32: the width the reference's TF runtime computes in
+            # (so float32 near-tie decode behavior is the FAITHFUL one)
+            # and ~2x the matmul throughput of the float64 default
+            bundle = load_bundle(npz_path, self.entity_types, dtype="float32")
             vocab_ids = load_vocab_ids(
                 os.path.join(self.artifact["bert_path"], "vocab.txt")
             )

@@ -209,7 +209,9 @@ def test_batched_windows_match_per_window(npz_artifact_dir):
         assert np.abs(got - m(win)).max() < 1e-9
 
     sc = TransformerScorer(str(npz_artifact_dir))
-    # a 3-window document through score_windows exercises the batch path
+    # a 3-window document through score_windows exercises the batch path;
+    # the production scorer runs the bundle at float32 (TF's width), so the
+    # batched-vs-per-window agreement bound is float32 BLAS reduction noise
     pieces = (["hello", "world"] * 200)[: 3 * 128 - 5]
     full = score_windows(sc, pieces)
     per_window = np.concatenate(
@@ -219,7 +221,35 @@ def test_batched_windows_match_per_window(npz_artifact_dir):
         ],
         axis=1,
     )[:, : len(pieces), :]
-    assert np.abs(full - per_window).max() < 1e-9
+    assert full.dtype == np.float32
+    assert np.abs(full - per_window).max() < 5e-5
+
+
+def test_float32_forward_matches_float64(npz_artifact_dir):
+    """The float32 inference mode (what the reference's TF runtime computes
+    in; the production TransformerScorer path) must agree with the float64
+    forward to single-precision accumulation tolerance, for both the
+    single-sequence and the batched encoder, and must actually run in
+    float32 end-to-end (no silent float64 promotion re-doubling the
+    matmul cost)."""
+    from runne_contrastive_ner_spark.functions.bert_numpy import load_bundle
+    from runne_contrastive_ner_spark.functions.decode import softmax
+
+    path = str(npz_artifact_dir / "ner.npz")
+    m64 = load_bundle(path, GOOD_CONFIG["named_entities"])
+    m32 = load_bundle(path, GOOD_CONFIG["named_entities"], dtype="float32")
+    ids = [2, 4, 5, 6, 19, 3, 0, 0]
+    out64, out32 = m64(ids), m32(ids)
+    assert out32.dtype == np.float32
+    assert np.abs(out64 - out32).max() < 1e-4
+    # downstream decode consumes probabilities: bound THOSE too
+    assert np.abs(softmax(out64, axis=-1) - softmax(out32, axis=-1)).max() < 1e-4
+    wins = [[2, 4, 5, 3, 0, 0], [2, 19, 20, 6, 7, 3]]
+    for b64, b32 in zip(m64.batch(wins), m32.batch(wins)):
+        assert b32.dtype == np.float32
+        assert np.abs(b64 - b32).max() < 1e-4
+    with pytest.raises(ValueError, match="float32 or float64"):
+        load_bundle(path, GOOD_CONFIG["named_entities"], dtype="float16")
 
 
 def test_vector_erf_matches_math_erf():
