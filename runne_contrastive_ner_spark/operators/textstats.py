@@ -45,9 +45,49 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str, threshold: float = 0.05)
     )
 
 
+def _word_ngrams(toks_col: str, n: int):
+    """Word n-gram array from a token-array column, entirely JVM-side.
+    Guarded: ``sequence(1, 0)`` DESCENDS in Spark, so short docs must
+    short-circuit to an empty array rather than rely on an empty range."""
+    idx = f"sequence(1, size({toks_col}) - {n - 1})"
+    parts = ", ".join(f"element_at({toks_col}, i + {j})" for j in range(n))
+    return F.expr(
+        f"IF(size({toks_col}) < {n}, array(), "
+        f"transform({idx}, i -> concat_ws(' ', {parts})))"
+    )
+
+
+def _top_gram_count(grams_col: str):
+    """Multiplicity of the most frequent gram: sort the per-document gram
+    array, then fold it once tracking the longest run of equal adjacent
+    elements. O(n log n) per document with NO shuffle — the explode →
+    groupBy(doc_id, gram) → max alternative re-shuffles the whole corpus
+    by (doc, gram), which at 100 TB is the dominant cost of the filter."""
+    return F.expr(
+        f"""
+        aggregate(array_sort({grams_col}),
+          named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+          (acc, g) -> named_struct(
+            'prev', g,
+            'run', IF(acc.prev IS NOT NULL AND g = acc.prev, acc.run + 1L, 1L),
+            'best', greatest(acc.best,
+                    IF(acc.prev IS NOT NULL AND g = acc.prev, acc.run + 1L, 1L))),
+          acc -> acc.best)
+        """
+    )
+
+
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring from length / distinct-token / stopword ratios —
-    the standard pretraining-corpus filters, exactly specified."""
+    the standard pretraining-corpus filters, exactly specified — plus the
+    Gopher-style repetition signals (Rae et al. 2021, appendix A1.1):
+    ``top_bigram_frac`` (occurrence share of the most frequent word
+    2-gram) and ``dup_trigram_frac`` (share of word-3-gram occurrences
+    that are repeats of an earlier 3-gram in the same document). The
+    corpus texts carry no newlines, so the line-level Gopher filters are
+    represented by their word-n-gram counterparts. Both are per-document
+    array folds (no explode shuffle); ``quality`` itself is unchanged so
+    downstream corpus-selection/mixture oracles are unaffected."""
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     docs = load(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("bigint").alias("doc_id"), F.col("text"), _toks().alias("toks")
@@ -56,6 +96,29 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("n_toks", F.size("toks"))
         .withColumn("n_distinct", F.size(F.array_distinct("toks")))
         .withColumn("n_stop", F.expr(f"size(filter(toks, t -> t IN ({stop_list})))"))
+        .withColumn("grams2", _word_ngrams("toks", 2))
+        .withColumn("grams3", _word_ngrams("toks", 3))
+        .withColumn("n_bigrams", F.size("grams2").cast("bigint"))
+        .withColumn("n_trigrams", F.size("grams3").cast("bigint"))
+        .withColumn("top_bigram_n", _top_gram_count("grams2"))
+        .withColumn(
+            "dup_trigram_n",
+            (F.col("n_trigrams") - F.size(F.array_distinct("grams3"))).cast("bigint"),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "dup_trigram_frac",
+            F.when(
+                F.col("n_trigrams") > 0,
+                F.round(F.col("dup_trigram_n") / F.col("n_trigrams"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
         .withColumn(
             "quality",
             F.round(
@@ -70,6 +133,10 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_toks").cast("bigint").alias("n_toks"),
             F.col("n_distinct").cast("bigint").alias("n_distinct"),
             F.col("n_stop").cast("bigint").alias("n_stop"),
+            "top_bigram_n",
+            "dup_trigram_n",
+            "top_bigram_frac",
+            "dup_trigram_frac",
             "quality",
         )
     )

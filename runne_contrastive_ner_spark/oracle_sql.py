@@ -528,12 +528,32 @@ TEXTSTATS: dict[str, str] = {
         WITH t AS (SELECT doc_id,
                           list_filter(string_split(text, ' '), x -> x != '') AS toks
                    FROM documents),
+        g AS (SELECT doc_id, toks,
+                     list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i + 1]) AS g2,
+                     list_transform(range(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i + 1]
+                                            || ' ' || toks[i + 2]) AS g3
+              FROM t),
         s AS (SELECT doc_id, len(toks) AS n_toks,
                      len(list_distinct(toks)) AS n_distinct,
-                     len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stop
-              FROM t)
+                     len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stop,
+                     len(g2) AS n_bigrams,
+                     coalesce(list_max(list_transform(list_distinct(g2),
+                         x -> len(list_filter(g2, y -> y = x)))), 0) AS top_bigram_n,
+                     len(g3) - len(list_distinct(g3)) AS dup_trigram_n,
+                     len(g3) AS n_trigrams
+              FROM g)
         SELECT doc_id::BIGINT AS doc_id, n_toks::BIGINT AS n_toks,
                n_distinct::BIGINT AS n_distinct, n_stop::BIGINT AS n_stop,
+               top_bigram_n::BIGINT AS top_bigram_n,
+               dup_trigram_n::BIGINT AS dup_trigram_n,
+               (CASE WHEN n_bigrams > 0
+                     THEN round(top_bigram_n / n_bigrams, 6)
+                     ELSE 0.0 END)::DOUBLE AS top_bigram_frac,
+               (CASE WHEN n_trigrams > 0
+                     THEN round(dup_trigram_n / n_trigrams, 6)
+                     ELSE 0.0 END)::DOUBLE AS dup_trigram_frac,
                round(0.4 * least(1.0, n_toks / 100.0)
                      + 0.3 * (n_distinct / greatest(n_toks, 1))
                      + 0.3 * (1 - n_stop / greatest(n_toks, 1)), 6)::DOUBLE AS quality

@@ -269,3 +269,50 @@ def test_token_quantiles_nearest_rank_exact(spark, tmp_path):
     solo = out["solo"]
     assert (solo.p25, solo.p50, solo.p75, solo.p90, solo.p99) == (3,) * 5
     assert a.n_docs_total == 10 and solo.n_docs_total == 1
+
+
+def test_quality_repetition_stats(spark, tmp_path):
+    """Gopher-style repetition signals: top-bigram occurrence share and
+    duplicate-trigram share, hand-computed on crafted shapes (heavy
+    repetition, single-token, empty text) and cross-checked against the
+    DuckDB oracle on the same synthetic table — edge shapes the driver
+    corpus does not exercise."""
+    import duckdb
+
+    from runne_contrastive_ner_spark.operators.textstats import quality_scores
+
+    rows = [
+        (1, "a b a b a b"),   # 5 bigrams, top 'a b'=3; 4 trigrams, 2 dup
+        (2, "x"),             # no bigrams/trigrams
+        (3, ""),              # no tokens at all
+        (4, "u v w"),         # all grams distinct
+        (5, "t t t t"),       # 3 bigrams all 't t'; 2 trigrams, 1 dup
+    ]
+    sf = str(tmp_path / "rep")
+    spark.createDataFrame(
+        [(d, t, "s") for d, t in rows], "doc_id long, text string, source string"
+    ).write.parquet(sf + "/documents.parquet")
+
+    out = {r.doc_id: r for r in quality_scores(spark, sf).collect()}
+    assert (out[1].top_bigram_n, out[1].top_bigram_frac) == (3, 0.6)
+    assert (out[1].dup_trigram_n, out[1].dup_trigram_frac) == (2, 0.5)
+    assert (out[2].top_bigram_n, out[2].top_bigram_frac) == (0, 0.0)
+    assert (out[3].dup_trigram_n, out[3].dup_trigram_frac) == (0, 0.0)
+    assert (out[4].top_bigram_n, out[4].top_bigram_frac) == (1, 0.5)
+    assert out[4].dup_trigram_frac == 0.0
+    assert (out[5].top_bigram_n, out[5].top_bigram_frac) == (3, 1.0)
+    assert (out[5].dup_trigram_n, out[5].dup_trigram_frac) == (1, 0.5)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(
+        OSQL.TEXTSTATS["ts_quality_scores"] + " ORDER BY doc_id"
+    ).fetchall()
+    got = [
+        tuple(r)
+        for r in sorted(out.values(), key=lambda r: r.doc_id)
+    ]
+    assert got == [tuple(w) for w in want]
