@@ -128,6 +128,12 @@ def run_pipeline(
         if cfg.bucket_link_tables
         else None
     )
+    # NOTE: the scorer is not a fingerprint component because run_pipeline
+    # pins the GazetteerScorer (extract_mentions' default). If a
+    # scorer_factory / model path is ever added to PipelineConfig, its
+    # identity INCLUDING numeric width (float32 vs float64 flips near-tie
+    # decodes) must join this fingerprint, or resumed warehouses will
+    # serve stale mentions under a matching fingerprint.
     mentions = runner.run(
         "mentions",
         fingerprint(

@@ -17,8 +17,9 @@ triples the pipeline materializes) and TYPED LITERALS (attribute-style
 triples — lifespans, analytics scores — as ``"42"^^xsd:long`` /
 ``"0.5"^^xsd:double`` / plain ``"..."`` strings with N-Triples
 backslash-escaping). A DataFrame with an ``obj_kind`` column
-(iri | string | long | double) serializes per row; without one, every
-object is an IRI (the original contract). ``attribute_triples`` builds the
+(iri | string | long | double — any other value fails the write with an
+actionable error, since the scan-back grammar would drop it) serializes
+per row; without one, every object is an IRI (the original contract). ``attribute_triples`` builds the
 literal shape from any per-entity attribute table, typing each column from
 its Spark type.
 
@@ -47,37 +48,59 @@ _XSD_OF_SPARK = {
 }
 
 
+# C0 control codepoints without a short N-Triples escape (tab/LF/CR have
+# \t \n \r): grammar-legal raw inside a literal, but raw NUL in a text
+# file is hostile to downstream tooling, so the writer emits \uXXXX and
+# the reader decodes it.
+_C0_CODES = [c for c in range(0x20) if c not in (0x09, 0x0A, 0x0D)]
+
+
 def _escape_literal(col: Column) -> Column:
     """N-Triples string-literal escaping (JVM-side): backslash first, then
-    quote, newline, CR, tab — the five characters the grammar forbids raw."""
+    quote, newline, CR, tab (the characters the grammar forbids raw), then
+    the remaining C0 controls as ``\\uXXXX`` UCHAR escapes."""
     out = F.regexp_replace(col, r"\\", r"\\\\")
     out = F.regexp_replace(out, '"', '\\\\"')
     out = F.regexp_replace(out, "\n", r"\\n")
     out = F.regexp_replace(out, "\r", r"\\r")
-    return F.regexp_replace(out, "\t", r"\\t")
+    out = F.regexp_replace(out, "\t", r"\\t")
+    for c in _C0_CODES:
+        out = F.regexp_replace(out, f"\\x{c:02x}", f"\\\\u{c:04X}")
+    return out
 
 
-def _unescape_literal(col: Column) -> Column:
-    """Inverse of ``_escape_literal``. Escaped backslashes are swapped to a
-    NUL sentinel FIRST so the shorter escapes can't bite into them (the
-    lexical form ``\\\\n`` — escaped backslash + letter n — must decode to
-    ``\\n`` the two characters, not a newline); raw NUL inside a literal is
-    the one input this would corrupt, and the writer never emits one."""
-    out = F.regexp_replace(col, r"\\\\", "\x00")
-    out = F.regexp_replace(out, r"\\t", "\t")
+def _dec_segment(seg: Column) -> Column:
+    """Decode escape sequences inside one backslash-pair-free segment:
+    every remaining backslash starts a genuine escape, so plain
+    replacement is unambiguous."""
+    out = F.regexp_replace(seg, r"\\t", "\t")
     out = F.regexp_replace(out, r"\\r", "\r")
     out = F.regexp_replace(out, r"\\n", "\n")
     out = F.regexp_replace(out, r'\\"', '"')
-    return F.regexp_replace(out, "\x00", r"\\")
+    for c in _C0_CODES:
+        # char(c) builds the raw control character JVM-side (a literal
+        # NUL in a py4j string would be protocol-hostile)
+        out = F.regexp_replace(out, F.lit(f"\\\\u{c:04X}"), F.expr(f"char({c})"))
+    return out
+
+
+def _unescape_literal(col: Column) -> Column:
+    """Inverse of ``_escape_literal``, sentinel-free: split on escaped
+    backslashes (``\\\\`` pairs), decode the shorter escapes within each
+    segment — where a backslash can only start a real escape — and rejoin
+    with single backslashes. Unlike an in-band sentinel, this corrupts no
+    input: foreign N-Triples with raw control characters (grammar-legal)
+    pass through untouched."""
+    return F.array_join(F.transform(F.split(col, r"\\\\"), _dec_segment), "\\")
 
 
 def _obj_term(kind_col: Column, obj_str: Column) -> Column:
     """Serialize one object term by kind: IRI, typed literal, or plain
-    string literal (xsd:string is the implied type per the spec)."""
-    iri = F.concat(
-        F.lit(f"<{ENT_NS}"), F.expr("url_encode(CAST(obj AS STRING))"),
-        F.lit(">"),
-    )
+    string literal (xsd:string is the implied type per the spec). An
+    ``obj_kind`` outside iri|string|long|double fails the job with an
+    actionable error rather than writing a line ``read_ntriples`` would
+    silently drop."""
+    iri = F.concat(F.lit(f"<{ENT_NS}"), F.url_encode(obj_str), F.lit(">"))
     quoted = F.concat(F.lit('"'), _escape_literal(obj_str), F.lit('"'))
     typed = F.concat(
         quoted, F.lit(f"^^<{XSD_NS}"), kind_col, F.lit(">")
@@ -85,7 +108,16 @@ def _obj_term(kind_col: Column, obj_str: Column) -> Column:
     return (
         F.when(kind_col == "iri", iri)
         .when(kind_col == "string", quoted)
-        .otherwise(typed)
+        .when(kind_col.isin("long", "double"), typed)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("write_ntriples: unsupported obj_kind '"),
+                    kind_col,
+                    F.lit("' (expected iri|string|long|double)"),
+                )
+            )
+        )
     )
 
 
@@ -125,47 +157,34 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     iri_pat = spo + rf"<{ENT_NS}([^>]*)>\s+\.$"
     lit_body = r'"((?:[^"\\]|\\.)*)"'
     lit_pat = spo + lit_body + rf"(?:\^\^<{XSD_NS}(long|double)>)?\s+\.$"
-    raw = spark.read.text(path)
-    iri_rows = (
-        raw.select(
-            F.regexp_extract("value", iri_pat, 1).alias("s_enc"),
-            F.regexp_extract("value", iri_pat, 2).alias("p_enc"),
-            F.regexp_extract("value", iri_pat, 3).alias("o_enc"),
-        )
-        .filter(
-            (F.col("s_enc") != "") & (F.col("p_enc") != "")
-            & (F.col("o_enc") != "")
-        )
-        .select(
-            F.expr("url_decode(s_enc)").alias("subj"),
-            F.expr("url_decode(p_enc)").alias("pred"),
-            F.expr("url_decode(o_enc)").alias("obj"),
-            F.lit("iri").alias("obj_kind"),
-        )
+    # ONE pass over the file: each line is classified (IRI-object first —
+    # the patterns are disjoint on the object term, but IRI is the common
+    # case) and projected through the matching branch of a single
+    # conditional struct; the old two-subquery union read and
+    # regex-matched every split twice.
+    iri_row = F.struct(
+        F.url_decode(F.regexp_extract("value", iri_pat, 1)).alias("subj"),
+        F.url_decode(F.regexp_extract("value", iri_pat, 2)).alias("pred"),
+        F.url_decode(F.regexp_extract("value", iri_pat, 3)).alias("obj"),
+        F.lit("iri").alias("obj_kind"),
     )
-    lit_rows = (
-        raw.filter(~F.col("value").rlike(iri_pat))
-        .select(
-            F.col("value"),
-            F.regexp_extract("value", lit_pat, 1).alias("s_enc"),
-            F.regexp_extract("value", lit_pat, 2).alias("p_enc"),
-            F.regexp_extract("value", lit_pat, 3).alias("o_lex"),
-            F.regexp_extract("value", lit_pat, 4).alias("o_type"),
-        )
-        .filter(
-            F.col("value").rlike(lit_pat)
-            & (F.col("s_enc") != "") & (F.col("p_enc") != "")
-        )
-        .select(
-            F.expr("url_decode(s_enc)").alias("subj"),
-            F.expr("url_decode(p_enc)").alias("pred"),
-            _unescape_literal(F.col("o_lex")).alias("obj"),
-            F.when(F.col("o_type") == "", "string")
-            .otherwise(F.col("o_type"))
-            .alias("obj_kind"),
-        )
+    lit_type = F.regexp_extract("value", lit_pat, 4)
+    lit_row = F.struct(
+        F.url_decode(F.regexp_extract("value", lit_pat, 1)).alias("subj"),
+        F.url_decode(F.regexp_extract("value", lit_pat, 2)).alias("pred"),
+        _unescape_literal(F.regexp_extract("value", lit_pat, 3)).alias("obj"),
+        F.when(lit_type == "", "string").otherwise(lit_type).alias("obj_kind"),
     )
-    return iri_rows.unionByName(lit_rows)
+    return (
+        spark.read.text(path)
+        .select(
+            F.when(F.col("value").rlike(iri_pat), iri_row)
+            .when(F.col("value").rlike(lit_pat), lit_row)
+            .alias("t")
+        )
+        .filter(F.col("t").isNotNull())
+        .select("t.*")
+    )
 
 
 def kg_export(triples: DataFrame, analytics: DataFrame | None = None) -> DataFrame:

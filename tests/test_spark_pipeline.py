@@ -248,6 +248,55 @@ class TestPipeline:
         }
         assert got3 == got2
 
+    def test_embedding_lsh_leg_produces_edges(self, spark, tmp_path):
+        """The LSH candidate source must actually DO something end-to-end:
+        on a corpus with two near-duplicate surfaces (bigram cosine well
+        above BIGRAM_THRESHOLD) the staged pipeline with
+        bigram_candidates='lsh' materializes an 'embedding'-kind edge and
+        canonicalizes the pair together. Guards against the LSH leg
+        silently returning zero candidates, which the staged-vs-direct
+        comparison above cannot catch (both sides would agree on the same
+        empty result)."""
+        from runne_contrastive_ner_spark.functions.vocab import TEST_GAZETTEER
+
+        gaz = dict(TEST_GAZETTEER)
+        gaz["acme corporation"] = "ORGANIZATION"
+        gaz["acme corporatio"] = "ORGANIZATION"
+        # several unrelated surfaces must co-occur: on a 2-surface
+        # dictionary, mean-centering maps the near-dup pair to exactly
+        # antipodal vectors and sign-LSH can never collide them — a
+        # degenerate-dictionary artifact, not a recall bug
+        tdf = spark.createDataFrame(
+            [
+                ("cE", 0, "user", "we signed with acme corporation today", "", None),
+                ("cE", 1, "user", "the acme corporatio deal closed", "", None),
+                ("cE", 2, "user", "spark wrote a table near the window", "", None),
+                ("cE", 3, "user", "big data by the fast table with a key", "", None),
+                ("cE", 4, "user", "a batch merge moved the vector", "", None),
+            ],
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp",
+        )
+        cfg = PipelineConfig(
+            warehouse=str(tmp_path / "whlshE"),
+            gazetteer=gaz,
+            use_embedding_edges=True,
+            embedding_method="bigram",
+            bigram_candidates="lsh",
+        )
+        res = run_pipeline(spark, tdf, cfg, input_fp="lshE")
+        kinds = {
+            r["kind"] for r in res.edges.select("kind").distinct().collect()
+        }
+        assert "embedding" in kinds
+        canon = {
+            r["canonical_id"]
+            for r in res.entities.filter(
+                F.col("surface_norm").isin("acme corporation", "acme corporatio")
+            ).collect()
+        }
+        assert len(canon) == 1
+
     def test_manifest_delete_recomputes_only_that_stage(
         self, spark, transcripts, tmp_path
     ):
@@ -1042,6 +1091,52 @@ class TestRdfAndViews:
             for r in back.filter("obj_kind = 'long'").collect()
         }
         assert longs == {("anna", 7), ("b\\slash", 42), ("plain", 0)}
+
+    def test_ntriples_escaping_edge_cases(self, spark, tmp_path):
+        """Adversarial literal content: backslash-adjacent escape lookalikes,
+        raw NUL / C0 control characters, and their combinations roundtrip
+        exactly (the old sentinel-based unescape corrupted a raw NUL into a
+        backslash), and the writer never puts a raw control character on
+        disk — C0 controls serialize as \\uXXXX UCHAR escapes."""
+        from runne_contrastive_ner_spark.sources.rdf import (
+            read_ntriples,
+            write_ntriples,
+        )
+
+        rows = [
+            ("s1", "note", "\\n is not a newline", "string"),
+            ("s2", "note", "nul\x00bell\x07end", "string"),
+            ("s3", "note", "\\\x00", "string"),  # backslash then raw NUL
+            ("s4", "note", "\\u0001 lookalike", "string"),  # not an escape
+            ("s5", "note", "\\\\double\\\\", "string"),
+        ]
+        df = spark.createDataFrame(
+            rows, "subj string, pred string, obj string, obj_kind string"
+        )
+        path = str(tmp_path / "nt_esc")
+        write_ntriples(df, path)
+        text = "".join(
+            open(str(p)).read()
+            for p in (tmp_path / "nt_esc").iterdir()
+            if p.name.startswith("part-")
+        )
+        assert not any(ord(c) < 0x20 and c != "\n" for c in text)
+        assert "\\u0000" in text and "\\u0007" in text
+        back = read_ntriples(spark, path)
+        assert {tuple(r) for r in back.collect()} == set(rows)
+
+    def test_ntriples_unsupported_kind_raises(self, spark, tmp_path):
+        """An obj_kind outside iri|string|long|double fails the write with
+        an actionable error instead of emitting a typed line the scan-back
+        grammar silently drops (review finding: xsd roundtrip loss)."""
+        from runne_contrastive_ner_spark.sources.rdf import write_ntriples
+
+        df = spark.createDataFrame(
+            [("s", "p", "1", "int")],
+            "subj string, pred string, obj string, obj_kind string",
+        )
+        with pytest.raises(Exception, match="unsupported obj_kind"):
+            write_ntriples(df, str(tmp_path / "nt_bad"))
 
     def test_kg_export_with_analytics(self, spark, tmp_path):
         """The CLI's --export-ntriples --analytics composition: relation

@@ -260,7 +260,9 @@ SPECIAL_EXCHANGE_BOUNDS = {
     "kcore_peel_round": 8,
     "analytics_stage_fold": 55,
     "ntriples_write_lines": 4,
-    "ntriples_read": 4,
+    # single-pass conditional projection over one text scan (rdf.py
+    # read_ntriples): 0 exchanges measured; 1 allows an AQE artifact
+    "ntriples_read": 1,
 }
 
 
