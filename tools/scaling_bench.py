@@ -165,6 +165,24 @@ def main():
     }
     print(json.dumps(result, indent=2))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # persistent run history: earlier rewrites of this file silently dropped
+    # the hand-maintained history paragraph, so the history now lives in an
+    # append-only jsonl and is rendered from there every run
+    hist_path = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
+    with open(hist_path, "a") as hf:
+        hf.write(json.dumps(result) + "\n")
+    effs = []
+    with open(hist_path) as hf:
+        for line in hf:
+            line = line.strip()
+            if line:
+                effs.append(json.loads(line)["scaling_efficiency"])
+    mean_eff = sum(effs) / len(effs)
+    history_para = (
+        "Run history (2-vs-8 pinned pair, same 1.2M-turn input):\n"
+        + " / ".join(f"{e:.3f}" for e in effs)
+        + f" — {len(effs)} runs, mean {mean_eff:.2f}.\n\n"
+    )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
             "# BENCH/BASELINE.md — measured scaling evidence\n\n"
@@ -178,6 +196,7 @@ def main():
             "exactly N cores — an honest N-core-executor stand-in (bare\n"
             "local[N] lets JVM threads spill onto extra cores and inflates\n"
             "the small-N baseline).\n\n"
+            + history_para +
             "Cross-pair measurements of the SAME job (per-core turns/s):\n\n"
             "| pair (N vs 4N) | eff | note |\n"
             "|---|---|---|\n"
