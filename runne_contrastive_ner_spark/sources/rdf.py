@@ -55,33 +55,43 @@ _XSD_OF_SPARK = {
 _C0_CODES = [c for c in range(0x20) if c not in (0x09, 0x0A, 0x0D)]
 
 
+_C0_CLASS = "[" + "".join(f"\\x{c:02x}" for c in _C0_CODES) + "]"
+
+
 def _escape_literal(col: Column) -> Column:
     """N-Triples string-literal escaping (JVM-side): backslash first, then
     quote, newline, CR, tab (the characters the grammar forbids raw), then
-    the remaining C0 controls as ``\\uXXXX`` UCHAR escapes."""
+    the remaining C0 controls as ``\\uXXXX`` UCHAR escapes. The 29-step
+    C0 chain only runs on strings that contain a C0 character (one
+    char-class rlike guards it) — on a clean corpus the per-literal cost
+    stays at the five short escapes."""
     out = F.regexp_replace(col, r"\\", r"\\\\")
     out = F.regexp_replace(out, '"', '\\\\"')
     out = F.regexp_replace(out, "\n", r"\\n")
     out = F.regexp_replace(out, "\r", r"\\r")
     out = F.regexp_replace(out, "\t", r"\\t")
+    c0 = out
     for c in _C0_CODES:
-        out = F.regexp_replace(out, f"\\x{c:02x}", f"\\\\u{c:04X}")
-    return out
+        c0 = F.regexp_replace(c0, f"\\x{c:02x}", f"\\\\u{c:04X}")
+    return F.when(out.rlike(_C0_CLASS), c0).otherwise(out)
 
 
 def _dec_segment(seg: Column) -> Column:
     """Decode escape sequences inside one backslash-pair-free segment:
     every remaining backslash starts a genuine escape, so plain
-    replacement is unambiguous."""
+    replacement is unambiguous. The 29-step \\uXXXX chain is guarded by
+    one substring test — segments without a ``\\u00`` escape (the common
+    case) pay only the four short decodes."""
     out = F.regexp_replace(seg, r"\\t", "\t")
     out = F.regexp_replace(out, r"\\r", "\r")
     out = F.regexp_replace(out, r"\\n", "\n")
     out = F.regexp_replace(out, r'\\"', '"')
+    c0 = out
     for c in _C0_CODES:
         # char(c) builds the raw control character JVM-side (a literal
         # NUL in a py4j string would be protocol-hostile)
-        out = F.regexp_replace(out, F.lit(f"\\\\u{c:04X}"), F.expr(f"char({c})"))
-    return out
+        c0 = F.regexp_replace(c0, F.lit(f"\\\\u{c:04X}"), F.expr(f"char({c})"))
+    return F.when(out.contains("\\u00"), c0).otherwise(out)
 
 
 def _unescape_literal(col: Column) -> Column:

@@ -1125,6 +1125,47 @@ class TestRdfAndViews:
         back = read_ntriples(spark, path)
         assert {tuple(r) for r in back.collect()} == set(rows)
 
+    def test_ntriples_literal_fuzz_roundtrip(self, spark, tmp_path):
+        """Seeded fuzz over the literal codec: 200 strings drawn from an
+        alphabet weighted toward the dangerous characters (backslash,
+        quote, C0 controls, escape-lookalike fragments) roundtrip
+        byte-exact through one write/read — a single Spark job, not
+        per-example sessions."""
+        import random
+
+        from runne_contrastive_ner_spark.sources.rdf import (
+            read_ntriples,
+            write_ntriples,
+        )
+
+        rng = random.Random(42)
+        alphabet = (
+            ["\\", '"', "\n", "\r", "\t", "\x00", "\x01", "\x07", "\x1f"]
+            + list("abz 09é日")
+            + ["\\u0000", "\\n", "\\\\", "u00"]
+        )
+        rows = [
+            (
+                f"s{i}",
+                "note",
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12))),
+                "string",
+            )
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(
+            rows, "subj string, pred string, obj string, obj_kind string"
+        )
+        path = str(tmp_path / "nt_fuzz")
+        write_ntriples(df, path)
+        back = {
+            (r["subj"], r["obj"])
+            for r in read_ntriples(spark, path).collect()
+        }
+        # write_ntriples dedups (subj, pred, obj, kind) rows by contract
+        want = {(s, o) for s, _, o, _ in rows}
+        assert back == want
+
     def test_ntriples_unsupported_kind_raises(self, spark, tmp_path):
         """An obj_kind outside iri|string|long|double fails the write with
         an actionable error instead of emitting a typed line the scan-back
