@@ -76,22 +76,40 @@ def _escape_literal(col: Column) -> Column:
     return F.when(out.rlike(_C0_CLASS), c0).otherwise(out)
 
 
+_UCHAR_PAT = r"\\u([0-9A-Fa-f]{4})"
+
+
 def _dec_segment(seg: Column) -> Column:
     """Decode escape sequences inside one backslash-pair-free segment:
     every remaining backslash starts a genuine escape, so plain
-    replacement is unambiguous. The 29-step \\uXXXX chain is guarded by
-    one substring test — segments without a ``\\u00`` escape (the common
-    case) pay only the four short decodes."""
+    replacement is unambiguous. Handles every N-Triples ECHAR (tbnrf"')
+    plus ANY BMP ``\\uXXXX`` UCHAR, not just the C0 range the writer
+    emits: the segment splits on the UCHAR pattern, each captured hex
+    quad becomes its raw character via unhex + UTF-16BE decode (all
+    JVM-side — a literal NUL in a py4j string would be protocol-hostile),
+    and parts interleave back. Astral ``\\U00XXXXXX`` escapes (8 hex,
+    never writer-emitted) pass through as text. One substring test guards
+    the UCHAR machinery — escape-free segments pay only the short
+    decodes."""
     out = F.regexp_replace(seg, r"\\t", "\t")
     out = F.regexp_replace(out, r"\\r", "\r")
     out = F.regexp_replace(out, r"\\n", "\n")
+    out = F.regexp_replace(out, r"\\b", "\b")
+    out = F.regexp_replace(out, r"\\f", "\f")
+    out = F.regexp_replace(out, r"\\'", "'")
     out = F.regexp_replace(out, r'\\"', '"')
-    c0 = out
-    for c in _C0_CODES:
-        # char(c) builds the raw control character JVM-side (a literal
-        # NUL in a py4j string would be protocol-hostile)
-        c0 = F.regexp_replace(c0, F.lit(f"\\\\u{c:04X}"), F.expr(f"char({c})"))
-    return F.when(out.contains("\\u00"), c0).otherwise(out)
+    parts = F.split(out, _UCHAR_PAT)
+    codes = F.concat(
+        F.regexp_extract_all(out, F.lit(_UCHAR_PAT), F.lit(1)),
+        F.array(F.lit("")),
+    )
+    decoded = F.array_join(
+        F.zip_with(
+            parts, codes, lambda p, c: F.concat(p, F.decode(F.unhex(c), "UTF-16BE"))
+        ),
+        "",
+    )
+    return F.when(out.contains("\\u"), decoded).otherwise(out)
 
 
 def _unescape_literal(col: Column) -> Column:
@@ -123,7 +141,9 @@ def _obj_term(kind_col: Column, obj_str: Column) -> Column:
             F.raise_error(
                 F.concat(
                     F.lit("write_ntriples: unsupported obj_kind '"),
-                    kind_col,
+                    # concat propagates NULL — a null kind would otherwise
+                    # degrade the whole message to an unexplained null
+                    F.coalesce(kind_col, F.lit("NULL")),
                     F.lit("' (expected iri|string|long|double)"),
                 )
             )
@@ -161,8 +181,10 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     """Scan N-Triples produced by ``write_ntriples`` (or any file using the
     same namespaces) back to (subj, pred, obj, obj_kind) — ``obj`` is the
     decoded id for IRI objects and the unescaped lexical form for literals,
-    ``obj_kind`` one of iri | string | long | double. Lines that match
-    neither shape (comments, blank lines) are dropped."""
+    ``obj_kind`` one of iri | string | long | double. Literal unescaping
+    covers the full ECHAR set and any BMP ``\\uXXXX`` UCHAR (foreign files
+    included); astral ``\\U00XXXXXX`` escapes pass through as text. Lines
+    that match neither shape (comments, blank lines) are dropped."""
     spo = rf"^<{ENT_NS}([^>]*)>\s+<{PRED_NS}([^>]*)>\s+"
     iri_pat = spo + rf"<{ENT_NS}([^>]*)>\s+\.$"
     lit_body = r'"((?:[^"\\]|\\.)*)"'

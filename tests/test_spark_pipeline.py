@@ -1125,6 +1125,30 @@ class TestRdfAndViews:
         back = read_ntriples(spark, path)
         assert {tuple(r) for r in back.collect()} == set(rows)
 
+    def test_ntriples_foreign_escapes_decode(self, spark, tmp_path):
+        """Files we did not write may use the full grammar: ECHAR \\b \\f
+        \\' and arbitrary BMP \\uXXXX UCHARs (lowercase hex included, and
+        codepoints far outside the C0 range our own writer emits). The
+        scanner decodes them all; an astral \\U00XXXXXX escape passes
+        through as text rather than corrupting."""
+        from runne_contrastive_ner_spark.sources.rdf import read_ntriples
+
+        d = tmp_path / "foreign"
+        d.mkdir()
+        (d / "part-00000.txt").write_text(
+            '<urn:kg:ent:a> <urn:kg:pred:p> "A=\\u0041 bs=\\b ff=\\f q=\\\' '
+            'lo=\\u001f sun=\\u65e5" .\n'
+            '<urn:kg:ent:b> <urn:kg:pred:p> "astral=\\U0001F600" .\n'
+        )
+        got = {
+            (r["subj"], r["obj"])
+            for r in read_ntriples(spark, str(d)).collect()
+        }
+        assert got == {
+            ("a", "A=A bs=\b ff=\f q=' lo=\x1f sun=日"),
+            ("b", "astral=\\U0001F600"),
+        }
+
     def test_ntriples_literal_fuzz_roundtrip(self, spark, tmp_path):
         """Seeded fuzz over the literal codec: 200 strings drawn from an
         alphabet weighted toward the dangerous characters (backslash,

@@ -213,9 +213,10 @@ def analytics_fold_plan(spark, sf_dir: str) -> tuple[dict, str]:
 
 def ntriples_plans(spark, sf_dir: str) -> list[tuple[str, dict, str]]:
     """N-Triples export/scan (sources/rdf.py): the write's line set must be
-    one distinct Exchange + a codegen'd projection; the scan must be a
-    distributed text read + regexp extraction with zero joins for the IRI
-    leg and one union for the literal leg — no Python stage in either."""
+    one distinct Exchange + a codegen'd projection; the scan must be ONE
+    pass over the text file — a single conditional projection classifying
+    each line (no union, no join, zero exchanges) — no Python stage in
+    either."""
     import shutil
     import tempfile
 

@@ -149,6 +149,8 @@ def main():
     result = {
         "sf": sf_dir,
         "replicate": replicate,
+        "low": low,
+        "high": high,
         "n_turns": r_low["n_turns"],
         "n_triples": r_low["n_triples"],
         f"turns_per_sec_local[{low}]": round(r_low["turns_per_sec"], 2),
@@ -171,17 +173,33 @@ def main():
     hist_path = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
     with open(hist_path, "a") as hf:
         hf.write(json.dumps(result) + "\n")
-    effs = []
+    # render only runs of the SAME config (pair + input size) — pooling a
+    # 300k-turn or 8-vs-32 run into the 2-vs-8@1.2M headline mean would
+    # silently mix incomparable measurements. Legacy lines without config
+    # keys predate the fields and were all 2-vs-8 @ replicate=240.
+    entries, notes = [], []
     with open(hist_path) as hf:
         for line in hf:
             line = line.strip()
             if line:
-                effs.append(json.loads(line)["scaling_efficiency"])
+                e = json.loads(line)
+                if (
+                    e.get("low", 2) == low
+                    and e.get("high", 8) == high
+                    and e.get("replicate", 240) == replicate
+                ):
+                    entries.append(e)
+                    if e.get("note"):
+                        notes.append(f"- eff {e['scaling_efficiency']}: {e['note']}")
+    effs = [e["scaling_efficiency"] for e in entries]
     mean_eff = sum(effs) / len(effs)
     history_para = (
-        "Run history (2-vs-8 pinned pair, same 1.2M-turn input):\n"
+        f"Run history ({low}-vs-{high} pinned pair, same "
+        f"{r_low['n_turns']:,}-turn input; other configs excluded):\n"
         + " / ".join(f"{e:.3f}" for e in effs)
-        + f" — {len(effs)} runs, mean {mean_eff:.2f}.\n\n"
+        + f" — {len(effs)} runs, mean {mean_eff:.2f}.\n"
+        + ("".join(n + "\n" for n in notes))
+        + "\n"
     )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
