@@ -254,6 +254,13 @@ def main():
         "query_reps_sec": reps_raw,
         "scorer_batch_windows_per_sec": scorer_windows_sec,
         "scorer_batch_windows_per_sec_f32": scorer_windows_sec_f32,
+        # load canary: the pre-session pure-numpy kernel probe doubles as a
+        # host-noise detector — quiet-period runs read ~40-55 w/s (f32);
+        # hypervisor-neighbor periods have measured as low as 7 w/s (6x)
+        # with ZERO local load. When this flag is true, every wall in this
+        # artifact is noise-suspect and should be re-measured before being
+        # compared across rounds.
+        "host_noise_suspect": bool(scorer_windows_sec_f32 < 30.0),
         "stream_cold_sec": round(stream_cold, 3),
         "stream_tail_sec": round(stream_tail, 3),
         "stream_cold_batches": stats_cold["new_batches"],
