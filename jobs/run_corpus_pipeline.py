@@ -36,6 +36,18 @@ def main() -> None:
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--min-quality", type=float, default=0.62)
     ap.add_argument("--shard-budget", type=int, default=256)
+    ap.add_argument(
+        "--max-top-bigram",
+        type=float,
+        default=None,
+        help="Gopher top-2-gram occurrence-share gate (default 0.20)",
+    )
+    ap.add_argument(
+        "--max-dup-trigram",
+        type=float,
+        default=None,
+        help="Gopher duplicate-3-gram occurrence-share gate (default 0.18)",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -46,9 +58,29 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
+    from runne_contrastive_ner_spark.operators.textstats import (
+        CORPUS_MAX_DUP_TRIGRAM,
+        CORPUS_MAX_TOP_BIGRAM,
+    )
+
+    max_top_bigram = (
+        CORPUS_MAX_TOP_BIGRAM if args.max_top_bigram is None else args.max_top_bigram
+    )
+    max_dup_trigram = (
+        CORPUS_MAX_DUP_TRIGRAM
+        if args.max_dup_trigram is None
+        else args.max_dup_trigram
+    )
+
     io = TableIO(spark, args.warehouse)
     runner = StageRunner(io)
     base_fp = fingerprint(args.sf_dir, args.min_quality, args.shard_budget)
+    # the repetition thresholds change what "selection" MEANS, so they
+    # fingerprint the selection stage and everything downstream of it —
+    # but not dedup_clusters/source_mixture/token_quantiles, which don't
+    # read the selection (a pre-r7 warehouse recomputes exactly the two
+    # affected stages once)
+    sel_fp = fingerprint(base_fp, max_top_bigram, max_dup_trigram)
 
     runner.run(
         "dedup_clusters",
@@ -58,12 +90,18 @@ def main() -> None:
     )
     selected = runner.run(
         "corpus_selection",
-        fingerprint("corpus_selection", base_fp),
-        lambda: corpus_selection(spark, args.sf_dir, min_quality=args.min_quality),
+        fingerprint("corpus_selection", sel_fp),
+        lambda: corpus_selection(
+            spark,
+            args.sf_dir,
+            min_quality=args.min_quality,
+            max_top_bigram_frac=max_top_bigram,
+            max_dup_trigram_frac=max_dup_trigram,
+        ),
     )
     runner.run(
         "shards",
-        fingerprint("shards", base_fp),
+        fingerprint("shards", sel_fp),
         lambda: shard_packing(
             spark, args.sf_dir, budget=args.shard_budget, selected=selected
         ),

@@ -408,6 +408,14 @@ def shard_packing(
 
 
 CORPUS_MIN_QUALITY = 0.62
+# Gopher repetition thresholds (Rae et al. 2021, appendix A1.1). The paper
+# states top-2-gram occurrence share > 0.20 and duplicated-3-gram CHARACTER
+# share > 0.18 (alongside line-level filters); this corpus carries no
+# newlines and the engine's repetition signals are word-gram occurrence
+# shares (see quality_scores), so both thresholds gate the word-gram
+# occurrence fractions — the documented adaptation, VERDICT r6 item 3.
+CORPUS_MAX_TOP_BIGRAM = 0.20
+CORPUS_MAX_DUP_TRIGRAM = 0.18
 
 
 def corpus_selection(
@@ -415,16 +423,22 @@ def corpus_selection(
     sf_dir: str,
     min_quality: float = CORPUS_MIN_QUALITY,
     lang: str = "en",
+    max_top_bigram_frac: float = CORPUS_MAX_TOP_BIGRAM,
+    max_dup_trigram_frac: float = CORPUS_MAX_DUP_TRIGRAM,
 ) -> DataFrame:
     """The training-corpus selection artifact: documents that pass the
-    language gate AND the quality gate AND survive near-dup clustering —
-    quality/lang from the exact-specified heuristics, dedup losers removed
-    with a left-anti join against the verified cluster members that are not
-    the survivor. This is the composition a pretraining pipeline actually
-    materializes; every input is an already-oracle-verified operator."""
+    language gate AND the quality gate AND the Gopher repetition gates
+    (top-bigram / duplicate-trigram occurrence shares ≤ thresholds) AND
+    survive near-dup clustering — quality/lang/repetition from the
+    exact-specified heuristics, dedup losers removed with a left-anti join
+    against the verified cluster members that are not the survivor. This
+    is the composition a pretraining pipeline actually materializes; every
+    input is an already-oracle-verified operator."""
     from .dedup import dedup_clusters
 
-    q = quality_scores(spark, sf_dir).select("doc_id", "quality")
+    q = quality_scores(spark, sf_dir).select(
+        "doc_id", "quality", "top_bigram_frac", "dup_trigram_frac"
+    )
     l = lang_id_heuristic(spark, sf_dir).select("doc_id", "pred_lang")
     losers = (
         dedup_clusters(spark, sf_dir)
@@ -433,7 +447,12 @@ def corpus_selection(
     )
     return (
         q.join(l, "doc_id")
-        .filter((F.col("pred_lang") == lang) & (F.col("quality") >= min_quality))
+        .filter(
+            (F.col("pred_lang") == lang)
+            & (F.col("quality") >= min_quality)
+            & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+            & (F.col("dup_trigram_frac") <= max_dup_trigram_frac)
+        )
         .join(losers, "doc_id", "left_anti")
         .select("doc_id", "quality")
     )

@@ -820,16 +820,34 @@ TEXTSTATS["ts_corpus_selection"] = f"""
     qt AS (SELECT doc_id,
                   list_filter(string_split(text, ' '), x -> x != '') AS toks
            FROM documents),
+    qg AS (SELECT doc_id, toks,
+                  list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1]) AS g2,
+                  list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1]
+                                         || ' ' || toks[i + 2]) AS g3
+           FROM qt),
     qs AS (SELECT doc_id, len(toks) AS n_toks,
                   len(list_distinct(toks)) AS n_distinct,
-                  len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stop
-           FROM qt),
+                  len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stop,
+                  len(g2) AS n_bigrams,
+                  coalesce(list_max(list_transform(list_distinct(g2),
+                      x -> len(list_filter(g2, y -> y = x)))), 0) AS top_bigram_n,
+                  len(g3) - len(list_distinct(g3)) AS dup_trigram_n,
+                  len(g3) AS n_trigrams
+           FROM qg),
     scored AS (
       SELECT doc_id,
              round(0.4 * least(1.0, n_toks / 100.0)
                    + 0.3 * (n_distinct / greatest(n_toks, 1))
                    + 0.3 * (1 - n_stop / greatest(n_toks, 1)), 6)::DOUBLE
                AS quality,
+             (CASE WHEN n_bigrams > 0
+                   THEN round(top_bigram_n / n_bigrams, 6)
+                   ELSE 0.0 END)::DOUBLE AS top_bigram_frac,
+             (CASE WHEN n_trigrams > 0
+                   THEN round(dup_trigram_n / n_trigrams, 6)
+                   ELSE 0.0 END)::DOUBLE AS dup_trigram_frac,
              CASE WHEN n_toks > 0 AND
                        n_stop * 1.0 / n_toks >= 0.05
                   THEN 'en' ELSE 'und' END AS pred_lang
@@ -838,6 +856,7 @@ TEXTSTATS["ts_corpus_selection"] = f"""
     SELECT s.doc_id::BIGINT AS doc_id, s.quality
     FROM scored s
     WHERE s.pred_lang = 'en' AND s.quality >= 0.62
+      AND s.top_bigram_frac <= 0.20 AND s.dup_trigram_frac <= 0.18
       AND s.doc_id NOT IN (SELECT doc_id FROM losers)
 """
 

@@ -93,12 +93,15 @@ def test_newline_vs_space_merge_semantics(spark, newline_dir):
 
 
 def test_corpus_selection_gates_compose(spark):
-    """Every selected doc passes all three gates; every excluded doc fails
-    at least one (selection = lang ∧ quality ∧ dedup-survivor)."""
+    """Every selected doc passes all four gate families; every excluded doc
+    fails at least one (selection = lang ∧ quality ∧ repetition ∧
+    dedup-survivor). The repetition legs are the Gopher word-gram gates."""
     from pyspark.sql import functions as F
 
     from runne_contrastive_ner_spark.operators.dedup import dedup_clusters
     from runne_contrastive_ner_spark.operators.textstats import (
+        CORPUS_MAX_DUP_TRIGRAM,
+        CORPUS_MAX_TOP_BIGRAM,
         CORPUS_MIN_QUALITY,
         corpus_selection,
         lang_id_heuristic,
@@ -107,19 +110,68 @@ def test_corpus_selection_gates_compose(spark):
 
     sf = "/root/testdata/sf0.01"
     sel = {r.doc_id for r in corpus_selection(spark, sf).collect()}
-    q = {r.doc_id: r.quality for r in quality_scores(spark, sf).collect()}
+    qrows = {r.doc_id: r for r in quality_scores(spark, sf).collect()}
     lang = {r.doc_id: r.pred_lang for r in lang_id_heuristic(spark, sf).collect()}
     losers = {
         r.doc_id
         for r in dedup_clusters(spark, sf).filter(~F.col("is_survivor")).collect()
     }
+
+    def passes(d):
+        r = qrows[d]
+        return (
+            lang[d] == "en"
+            and r.quality >= CORPUS_MIN_QUALITY
+            and r.top_bigram_frac <= CORPUS_MAX_TOP_BIGRAM
+            and r.dup_trigram_frac <= CORPUS_MAX_DUP_TRIGRAM
+            and d not in losers
+        )
+
     assert sel, "gates must keep some documents"
     for d in sel:
-        assert lang[d] == "en" and q[d] >= CORPUS_MIN_QUALITY and d not in losers
-    excluded = set(q) - sel
+        assert passes(d)
+    excluded = set(qrows) - sel
     assert excluded, "gates must drop some documents"
     for d in excluded:
-        assert lang[d] != "en" or q[d] < CORPUS_MIN_QUALITY or d in losers
+        assert not passes(d)
+
+
+def test_corpus_selection_repetition_gate_bites(spark, tmp_path):
+    """A repetition-heavy document that passes quality/lang/dedup is
+    rejected by the Gopher gates and ONLY by them: a 100-token distinct
+    prefix (with enough stopwords for the lang gate and a high quality
+    score) followed by 'buy now ' * 50 puts top_bigram_frac at 50/199 ≈
+    0.251 > 0.20 and dup_trigram_frac well over 0.18, while relaxing the
+    repetition thresholds re-admits the document."""
+    from runne_contrastive_ner_spark.operators.textstats import corpus_selection
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prefix = []
+    for i in range(90):
+        prefix.append(f"w{i}")
+        if i % 9 == 0:
+            prefix.append("the")
+    rep_text = " ".join(prefix + ["buy", "now"] * 50)
+    extra = spark.createDataFrame(
+        [(999_999, rep_text)], "doc_id long, text string"
+    )
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    docs.unionByName(extra, allowMissingColumns=True).coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+
+    sel = {r.doc_id for r in corpus_selection(spark, sf).collect()}
+    assert 999_999 not in sel
+    # with the repetition gates relaxed it would have been kept — proves
+    # the rejection came from the repetition legs, not quality/lang/dedup
+    sel_loose = {
+        r.doc_id
+        for r in corpus_selection(
+            spark, sf, max_top_bigram_frac=1.0, max_dup_trigram_frac=1.0
+        ).collect()
+    }
+    assert 999_999 in sel_loose
 
 
 def test_shard_packing_budget_and_selection(spark):
