@@ -1149,6 +1149,93 @@ class TestRdfAndViews:
             ("b", "astral=\\U0001F600"),
         }
 
+    def test_ntriples_foreign_file_tolerance(self, spark, tmp_path):
+        """VERDICT r6 item 4: a third-party N-Triples file — http IRIs,
+        language-tagged literals, foreign datatypes (xsd:integer, explicit
+        xsd:string), blank nodes — parses instead of silently dropping
+        line-by-line: foreign IRIs pass through raw, foreign-typed and
+        lang-tagged literals land as obj_kind='string', blank nodes as
+        obj_kind='bnode'. Engine-namespace terms in the same file still
+        decode to bare ids."""
+        from runne_contrastive_ner_spark.sources.rdf import read_ntriples
+
+        d = tmp_path / "foreign_rdf"
+        d.mkdir()
+        (d / "part-00000.txt").write_text(
+            "# a comment line\n"
+            "<http://example.org/alice> <http://xmlns.com/foaf/0.1/knows> "
+            "<http://example.org/bob> .\n"
+            '<http://example.org/alice> <http://xmlns.com/foaf/0.1/name> '
+            '"Alice"@en .\n'
+            '<http://example.org/alice> <http://example.org/age> '
+            '"33"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+            '<http://example.org/alice> <http://example.org/id> '
+            '"x-1"^^<http://www.w3.org/2001/XMLSchema#string> .\n'
+            "_:b1 <http://example.org/linkedTo> _:b2 .\n"
+            "<urn:kg:ent:anna%20k> <urn:kg:pred:knows> <urn:kg:ent:bob> .\n"
+            "\n"
+        )
+        rows = {tuple(r) for r in read_ntriples(spark, str(d)).collect()}
+        assert rows == {
+            (
+                "http://example.org/alice",
+                "http://xmlns.com/foaf/0.1/knows",
+                "http://example.org/bob",
+                "iri",
+            ),
+            ("http://example.org/alice", "http://xmlns.com/foaf/0.1/name",
+             "Alice", "string"),
+            ("http://example.org/alice", "http://example.org/age",
+             "33", "string"),
+            ("http://example.org/alice", "http://example.org/id",
+             "x-1", "string"),
+            ("_:b1", "http://example.org/linkedTo", "_:b2", "bnode"),
+            ("anna k", "knows", "bob", "iri"),
+        }
+
+    def test_ntriples_scan_report_and_rejects(self, spark, tmp_path):
+        """The skipped-line accounting VERDICT r6 item 4 asks for: the
+        report counts parsed vs blank/comment vs rejected in one pass, and
+        ntriples_rejects surfaces exactly the malformed lines (an N-Quads
+        line, a truncated line) — never the comments or good triples."""
+        from runne_contrastive_ner_spark.sources.rdf import (
+            ntriples_rejects,
+            ntriples_scan_report,
+            read_ntriples,
+        )
+
+        d = tmp_path / "messy_rdf"
+        d.mkdir()
+        (d / "part-00000.txt").write_text(
+            "# header\n"
+            "<urn:kg:ent:a> <urn:kg:pred:p> <urn:kg:ent:b> .\n"
+            "<http://e.org/s> <http://e.org/p> <http://e.org/o> "
+            "<http://e.org/graph> .\n"  # N-Quads: beyond the grammar
+            "<urn:kg:ent:a> <urn:kg:pred:p>\n"  # truncated
+            "\n"
+            '<urn:kg:ent:a> <urn:kg:pred:note> "fine" .\n'
+        )
+        report = ntriples_scan_report(spark, str(d))
+        assert report == {"parsed": 2, "rejected": 2, "blank_or_comment": 2}
+        rej = [r["value"] for r in ntriples_rejects(spark, str(d)).collect()]
+        assert len(rej) == 2
+        assert any("e.org/graph" in line for line in rej)
+        assert any(line.endswith("<urn:kg:pred:p>") for line in rej)
+        assert read_ntriples(spark, str(d)).count() == report["parsed"]
+
+    def test_ntriples_bnode_kind_not_writable(self, spark, tmp_path):
+        """'bnode' is a read-only kind: re-exporting a foreign scan through
+        write_ntriples fails with the actionable unsupported-kind error
+        rather than minting fake engine IRIs for blank nodes."""
+        from runne_contrastive_ner_spark.sources.rdf import write_ntriples
+
+        df = spark.createDataFrame(
+            [("s", "p", "_:b1", "bnode")],
+            "subj string, pred string, obj string, obj_kind string",
+        )
+        with pytest.raises(Exception, match="unsupported obj_kind"):
+            write_ntriples(df, str(tmp_path / "nt_bnode"))
+
     def test_ntriples_literal_fuzz_roundtrip(self, spark, tmp_path):
         """Seeded fuzz over the literal codec: 200 strings drawn from an
         alphabet weighted toward the dangerous characters (backslash,
