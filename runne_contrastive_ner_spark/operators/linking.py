@@ -214,7 +214,12 @@ def bigram_embedding_edges(
     ``"auto"``: pick by dictionary size — ``"bigram"`` up to
     BIGRAM_LSH_AUTO_NODES distinct surfaces (complete-in-practice df-cap
     blocking, oracle-replayable), ``"lsh"`` above it (the scale where hot
-    bigrams blow any cap). Costs one bounded count() on the node table.
+    bigrams blow any cap). The probe is ``limit(AUTO_NODES + 1).count()``
+    — it needs only "more than the threshold or not", so the scan
+    early-exits at the limit; still one Spark action, so a caller with an
+    UNCACHED node lineage pays one (bounded) evaluation of the upstream
+    plan — in the staged pipeline the nodes table is persisted and this
+    is cheap (ADVICE r6).
 
     ``dim=None`` (default) resolves per path: BIGRAM_DIM (32, the
     oracle-replayable size) for ``"bigram"``, BIGRAM_LSH_DIM (128, where
@@ -225,9 +230,8 @@ def bigram_embedding_edges(
 
     Everything is JVM-side builtin expressions — no Python UDF."""
     if candidates == "auto":
-        candidates = (
-            "lsh" if nodes.count() > BIGRAM_LSH_AUTO_NODES else "bigram"
-        )
+        probe = nodes.limit(BIGRAM_LSH_AUTO_NODES + 1).count()
+        candidates = "lsh" if probe > BIGRAM_LSH_AUTO_NODES else "bigram"
     if dim is None:
         dim = BIGRAM_LSH_DIM if candidates == "lsh" else BIGRAM_DIM
     elif candidates == "lsh" and dim < BIGRAM_LSH_DIM:

@@ -110,6 +110,31 @@ class PipelineResult:
     analytics: DataFrame | None = None
 
 
+def link_fingerprint(cfg: PipelineConfig, base_fp: str) -> str:
+    """Fingerprint of the linking stage. Embedding knobs enter ONLY when
+    the embedding leg is on, and then as an EXTRA element (ADVICE r6):
+    with the leg off the arg list is byte-identical to the pre-embedding
+    releases, so existing non-embedding warehouses keep their fingerprints
+    and never recompute on upgrade; only embedding-enabled warehouses take
+    the one-time invalidation the knobs genuinely imply."""
+    link_args: list = [
+        "link",
+        base_fp,
+        sorted(cfg.aliases),
+        cfg.use_embedding_edges,
+    ]
+    if cfg.use_embedding_edges:
+        link_args.append(
+            (
+                cfg.embedding_method,
+                cfg.embedding_threshold,
+                cfg.bigram_candidates,
+            )
+        )
+    link_args.append(cfg.bucket_link_tables and cfg.link_buckets)
+    return fingerprint(*link_args)
+
+
 def run_pipeline(
     spark: SparkSession, transcripts: DataFrame, cfg: PipelineConfig, input_fp: str
 ) -> PipelineResult:
@@ -156,23 +181,7 @@ def run_pipeline(
         bucket_spec=link_spec,
     )
 
-    link_fp = fingerprint(
-        "link",
-        base_fp,
-        sorted(cfg.aliases),
-        cfg.use_embedding_edges,
-        # embedding knobs enter the fingerprint ONLY when the embedding leg
-        # is on: toggling them with use_embedding_edges=False must not
-        # invalidate an existing warehouse
-        (
-            cfg.embedding_method,
-            cfg.embedding_threshold,
-            cfg.bigram_candidates,
-        )
-        if cfg.use_embedding_edges
-        else None,
-        cfg.bucket_link_tables and cfg.link_buckets,
-    )
+    link_fp = link_fingerprint(cfg, base_fp)
     # linking + CC produce two tables from one computation; build once, stage twice
     state: dict[str, DataFrame] = {}
 

@@ -1348,3 +1348,40 @@ class TestRdfAndViews:
         ).collect()[0]["n"]
         assert n > 0
         assert spark.sql("SELECT * FROM kg_entities").count() == res.entities.count()
+
+
+def test_link_fingerprint_stability_contract():
+    """ADVICE r6: with the embedding leg OFF, the link fingerprint must be
+    byte-identical to the pre-embedding 5-element shape — toggling the
+    (unused) embedding knobs must not invalidate an existing non-embedding
+    warehouse. With the leg ON, the knobs do (and should) enter."""
+    from runne_contrastive_ner_spark.plans.manifest import fingerprint
+    from runne_contrastive_ner_spark.plans.pipeline import (
+        PipelineConfig,
+        link_fingerprint,
+    )
+
+    off = PipelineConfig(warehouse="/tmp/x", use_embedding_edges=False)
+    legacy = fingerprint(
+        "link",
+        "base",
+        sorted(off.aliases),
+        False,
+        off.bucket_link_tables and off.link_buckets,
+    )
+    assert link_fingerprint(off, "base") == legacy
+    off_other_knobs = PipelineConfig(
+        warehouse="/tmp/x",
+        use_embedding_edges=False,
+        embedding_method="bigram",
+        embedding_threshold=0.9,
+        bigram_candidates="lsh",
+    )
+    assert link_fingerprint(off_other_knobs, "base") == legacy
+
+    on = PipelineConfig(warehouse="/tmp/x", use_embedding_edges=True)
+    on_other = PipelineConfig(
+        warehouse="/tmp/x", use_embedding_edges=True, bigram_candidates="lsh"
+    )
+    assert link_fingerprint(on, "base") != legacy
+    assert link_fingerprint(on, "base") != link_fingerprint(on_other, "base")
