@@ -66,26 +66,15 @@ class PipelineConfig:
     pagerank_iterations: int = 3
 
 
-def analytics_table(triples: DataFrame, pagerank_iterations: int = 3) -> DataFrame:
-    """One analytics row per entity: centrality + triangle participation +
-    community label + core number, all over the SAME materialized edge list
-    (checkpointed once inside each operator; the four are independent
-    equi-join/groupBy chains folded by a 4-way left join on the entity id).
-    Module-level so the plan audit (tools/explain_audit.py) explains the
-    exact fold the analytics stage materializes."""
-    from ..operators.graph import (
-        cooccurrence_edges,
-        k_core_numbers,
-        label_propagation,
-        pagerank,
-        triangle_counts,
-    )
-
-    edges_g = cooccurrence_edges(triples)
-    pr = pagerank(edges_g, iterations=pagerank_iterations)
-    tri = triangle_counts(edges_g)
-    comm = label_propagation(edges_g, iterations=4)
-    core = k_core_numbers(edges_g)
+def fold_analytics(
+    pr: DataFrame, tri: DataFrame, comm: DataFrame, core: DataFrame
+) -> DataFrame:
+    """The analytics fold: 4-way left join of the per-entity component
+    tables on the entity id. In the staged pipeline the four inputs are
+    TableIO snapshots BUCKETED on ``src`` (VERDICT r6 item 5), so this
+    join chain runs with ZERO Exchange — the shuffle was paid once at the
+    component writes; tools/explain_audit.py asserts the exchange-free
+    shape as ``analytics_stage_fold``."""
     return (
         pr.join(tri, "src", "left")
         .join(comm, "src", "left")
@@ -97,6 +86,31 @@ def analytics_table(triples: DataFrame, pagerank_iterations: int = 3) -> DataFra
             F.coalesce("community", F.col("src")).alias("community"),
             F.coalesce("core", F.lit(0)).cast("long").alias("core"),
         )
+    )
+
+
+def analytics_table(triples: DataFrame, pagerank_iterations: int = 3) -> DataFrame:
+    """One analytics row per entity: centrality + triangle participation +
+    community label + core number, all over the SAME materialized edge list
+    (checkpointed once inside each operator; the four are independent
+    equi-join/groupBy chains folded by a 4-way left join on the entity id).
+    Direct (un-staged) composition for ad-hoc callers; the pipeline's
+    analytics stage materializes each component bucketed and folds them
+    exchange-free instead."""
+    from ..operators.graph import (
+        cooccurrence_edges,
+        k_core_numbers,
+        label_propagation,
+        pagerank,
+        triangle_counts,
+    )
+
+    edges_g = cooccurrence_edges(triples)
+    return fold_analytics(
+        pagerank(edges_g, iterations=pagerank_iterations),
+        triangle_counts(edges_g),
+        label_propagation(edges_g, iterations=4),
+        k_core_numbers(edges_g),
     )
 
 
@@ -241,17 +255,77 @@ def run_pipeline(
 
     analytics = None
     if cfg.analytics:
+        # the four per-entity component tables are materialized BUCKETED on
+        # the entity id (one shuffle each, paid at write), so the 4-way
+        # fold below joins co-located scans with zero Exchange — and each
+        # component resumes independently (changing pagerank_iterations
+        # recomputes pagerank + the fold, not triangles/communities/core).
+        from ..operators.graph import (
+            cooccurrence_edges,
+            k_core_numbers,
+            label_propagation,
+            pagerank,
+            triangle_counts,
+        )
 
-        def build_analytics():
-            return analytics_table(triples, cfg.pagerank_iterations)
+        estate: dict[str, DataFrame] = {}
 
+        def _edges_g() -> DataFrame:
+            # shared edge list, derived once from the materialized triples
+            # and pinned so four component builds don't re-derive it
+            if "e" not in estate:
+                estate["e"] = cooccurrence_edges(triples).localCheckpoint(
+                    eager=True
+                )
+            return estate["e"]
+
+        a_spec = {"cols": ["src"], "n": cfg.link_buckets, "sort": ["src"]}
+        pr_fp = fingerprint(
+            "analytics-pr", link_fp, cfg.window_k, cfg.pagerank_iterations
+        )
+        tri_fp = fingerprint("analytics-tri", link_fp, cfg.window_k)
+        comm_fp = fingerprint("analytics-comm", link_fp, cfg.window_k, 4)
+        core_fp = fingerprint("analytics-core", link_fp, cfg.window_k)
+        pr = runner.run(
+            "analytics_pr",
+            pr_fp,
+            lambda: pagerank(_edges_g(), iterations=cfg.pagerank_iterations),
+            lineage_key="src",
+            bucket_spec=a_spec,
+        )
+        tri = runner.run(
+            "analytics_tri",
+            tri_fp,
+            lambda: triangle_counts(_edges_g()),
+            lineage_key="src",
+            bucket_spec=a_spec,
+        )
+        comm = runner.run(
+            "analytics_comm",
+            comm_fp,
+            lambda: label_propagation(_edges_g(), iterations=4),
+            lineage_key="src",
+            bucket_spec=a_spec,
+        )
+        core = runner.run(
+            "analytics_core",
+            core_fp,
+            lambda: k_core_numbers(_edges_g()),
+            lineage_key="src",
+            bucket_spec=a_spec,
+        )
         analytics = runner.run(
             "analytics",
             fingerprint(
-                "analytics-v3", link_fp, cfg.window_k, cfg.pagerank_iterations
+                "analytics-v4", pr_fp, tri_fp, comm_fp, core_fp, cfg.link_buckets
             ),
-            build_analytics,
+            lambda: fold_analytics(pr, tri, comm, core),
             lineage_key="entity_id",
+            bucket_spec={
+                "cols": ["entity_id"],
+                "n": cfg.link_buckets,
+                "sort": ["entity_id"],
+            },
         )
 
     metrics = {s: vars(m) for s, m in runner.metrics.items()}

@@ -421,6 +421,25 @@ class TestPipeline:
         assert (
             res2.metrics["analytics"]["wall_sec"] == res.metrics["analytics"]["wall_sec"]
         )
+        # component-level resume (r7): changing pagerank_iterations must
+        # recompute ONLY the pagerank component + the fold — triangles,
+        # communities and core keep their manifests
+        cfg_it = PipelineConfig(
+            warehouse=str(tmp_path / "wha"), analytics=True, pagerank_iterations=5
+        )
+        res3 = run_pipeline(spark, transcripts, cfg_it, input_fp="a")
+        for unchanged in ("analytics_tri", "analytics_comm", "analytics_core"):
+            assert (
+                res3.metrics[unchanged]["wall_sec"]
+                == res.metrics[unchanged]["wall_sec"]
+            ), unchanged
+        assert res3.metrics["analytics_pr"]["wall_sec"] != res.metrics[
+            "analytics_pr"
+        ]["wall_sec"]
+        assert res3.metrics["analytics"]["wall_sec"] != res.metrics["analytics"][
+            "wall_sec"
+        ]
+        assert res3.analytics.count() == n_nodes
         # default config: no analytics stage, result field is None
         cfg_off = PipelineConfig(warehouse=str(tmp_path / "wha_off"))
         assert run_pipeline(spark, transcripts, cfg_off, input_fp="a").analytics is None

@@ -194,21 +194,47 @@ def kcore_round_plan(spark) -> tuple[dict, str]:
 
 
 def analytics_fold_plan(spark, sf_dir: str) -> tuple[dict, str]:
-    """The analytics stage's 4-way fold (plans/pipeline.analytics_table):
-    pagerank x triangles x communities x k-core joined on the entity id.
-    In the product path the stage input is the MATERIALIZED triples table
-    (runner.run re-reads the warehouse snapshot), so the audit emulates
-    that with an eager checkpoint; each operator then checkpoints its
-    neighbor lists, leaving the fold as the operators' own agg/join chains
-    — no replayed extraction lineage."""
-    from runne_contrastive_ner_spark.plans.pipeline import analytics_table
+    """The analytics stage's 4-way fold as the PIPELINE materializes it
+    (VERDICT r6 item 5): the four per-entity component tables are written
+    through TableIO bucketed on ``src``, and ``fold_analytics`` joins the
+    re-read bucketed scans — the audited plan must therefore show ZERO
+    exchanges (the shuffles were paid at the component writes; the old
+    in-memory composition measured 44 exchanges / 4 SortMergeJoins)."""
+    import shutil
+    import tempfile
+
+    from runne_contrastive_ner_spark.operators.graph import (
+        cooccurrence_edges,
+        k_core_numbers,
+        label_propagation,
+        pagerank,
+        triangle_counts,
+    )
+    from runne_contrastive_ner_spark.plans.pipeline import fold_analytics
+    from runne_contrastive_ner_spark.sources.tables import TableIO
 
     triples = entry_mod.queries()["kg_triples"](spark, sf_dir).localCheckpoint(
         eager=True
     )
-    fold = analytics_table(triples, pagerank_iterations=2)
-    plan = plan_of(fold)
-    return summarize(plan), plan
+    edges = cooccurrence_edges(triples).localCheckpoint(eager=True)
+    d = tempfile.mkdtemp(prefix="audit_afold_")
+    try:
+        io_ = TableIO(spark, d)
+        spec = {"cols": ["src"], "n": 4, "sort": ["src"]}
+        parts = {
+            "analytics_pr": pagerank(edges, iterations=2),
+            "analytics_tri": triangle_counts(edges),
+            "analytics_comm": label_propagation(edges, iterations=4),
+            "analytics_core": k_core_numbers(edges),
+        }
+        with contextlib.redirect_stdout(io.StringIO()):
+            for t, df in parts.items():
+                io_.write(df, t, bucket_spec=spec)
+        fold = fold_analytics(*[io_.read(t) for t in parts])
+        plan = plan_of(fold)
+        return summarize(plan), plan
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def ntriples_plans(spark, sf_dir: str) -> list[tuple[str, dict, str]]:
@@ -250,16 +276,14 @@ def ntriples_plans(spark, sf_dir: str) -> list[tuple[str, dict, str]]:
 
 
 # exchange ceilings for the special (non-registry) audited shapes, same
-# ~25% headroom discipline as EXCHANGE_BOUNDS. analytics_stage_fold's 44
-# measured exchanges decompose per branch as pagerank@2it=10 +
-# triangles=2 + label_propagation@4it=18 + k_core(per-k parts union)=14
-# — each a FIXED function of iteration counts / degeneracy over the
-# checkpointed neighbor lists, independent of data volume; the bound
-# catches a lineage leak (which showed as 102+ when the raw extraction
-# lineage leaked into the ntriples audit), not plan drift.
+# ~25% headroom discipline as EXCHANGE_BOUNDS. analytics_stage_fold is the
+# bucketed-scan 4-way join the pipeline's analytics stage runs (VERDICT r6
+# item 5): 0 exchanges measured — the component shuffles are paid at the
+# bucketed TableIO writes — so the bound of 1 allows only an AQE artifact;
+# any real Exchange here means the fold lost its co-location.
 SPECIAL_EXCHANGE_BOUNDS = {
     "kcore_peel_round": 8,
-    "analytics_stage_fold": 55,
+    "analytics_stage_fold": 1,
     "ntriples_write_lines": 4,
     # single-pass conditional projection over one text scan (rdf.py
     # read_ntriples): 0 exchanges measured; 1 allows an AQE artifact
