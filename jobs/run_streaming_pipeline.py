@@ -40,10 +40,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession  # noqa: E402
 
 
-def run_streaming(spark: SparkSession, transcripts_dir: str, warehouse: str) -> dict:
+def run_streaming(
+    spark: SparkSession,
+    transcripts_dir: str,
+    warehouse: str,
+    analytics: bool = False,
+) -> dict:
     from runne_contrastive_ner_spark.sources.tables import TableIO
     from runne_contrastive_ner_spark.streaming.incremental import (
         incremental_kg_fold,
+        refresh_analytics,
         streaming_mentions,
     )
 
@@ -116,6 +122,12 @@ def run_streaming(spark: SparkSession, transcripts_dir: str, warehouse: str) -> 
         "new_batches": len(new_dirs),
         **fold_stats,
     }
+    if analytics:
+        # exact freshness keyed on the edge-set fingerprint: a tail that
+        # did not change the co-occurrence graph skips every stage
+        a_stats = refresh_analytics(spark, io)
+        out["analytics_rebuilt"] = a_stats.get("rebuilt", [])
+        out["analytics_rows"] = a_stats.get("rows")
     return out
 
 
@@ -124,13 +136,21 @@ def main() -> None:
     ap.add_argument("--transcripts-dir", required=True,
                     help="parquet directory to tail (readStream file source)")
     ap.add_argument("--warehouse", required=True)
+    ap.add_argument(
+        "--analytics",
+        action="store_true",
+        help="after the fold, refresh the materialized analytics tables "
+        "(skips entirely when the co-occurrence graph is unchanged)",
+    )
     args = ap.parse_args()
 
     from runne_contrastive_ner_spark.session import build_session
 
     spark = build_session(app_name="kg-streaming")
     spark.sparkContext.setLogLevel("ERROR")
-    stats = run_streaming(spark, args.transcripts_dir, args.warehouse)
+    stats = run_streaming(
+        spark, args.transcripts_dir, args.warehouse, analytics=args.analytics
+    )
     print(json.dumps(stats))
     spark.stop()
 

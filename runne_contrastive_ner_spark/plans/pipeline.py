@@ -124,6 +124,89 @@ class PipelineResult:
     analytics: DataFrame | None = None
 
 
+def run_analytics_stages(
+    runner,
+    triples: DataFrame,
+    fp_seed: str,
+    pagerank_iterations: int = 3,
+    buckets: int = 16,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """The analytics stage group: the four per-entity component tables are
+    materialized BUCKETED on the entity id (one shuffle each, paid at
+    write), and the 4-way fold joins the co-located scans with zero
+    Exchange. Each component resumes independently (changing
+    pagerank_iterations recomputes pagerank + the fold, not triangles /
+    communities / core). ``fp_seed`` keys the stage fingerprints: the batch
+    pipeline seeds with its config lineage (link fingerprint + window_k);
+    the incremental refresh (streaming/incremental.refresh_analytics) seeds
+    with the EDGE-SET fingerprint, so an unchanged graph skips every stage.
+    Pass a pre-checkpointed ``edges`` to avoid re-deriving the edge list."""
+    from ..operators.graph import (
+        cooccurrence_edges,
+        k_core_numbers,
+        label_propagation,
+        pagerank,
+        triangle_counts,
+    )
+
+    estate: dict[str, DataFrame] = {}
+    if edges is not None:
+        estate["e"] = edges
+
+    def _edges_g() -> DataFrame:
+        # shared edge list, derived once from the materialized triples and
+        # pinned so four component builds don't re-derive it
+        if "e" not in estate:
+            estate["e"] = cooccurrence_edges(triples).localCheckpoint(eager=True)
+        return estate["e"]
+
+    a_spec = {"cols": ["src"], "n": buckets, "sort": ["src"]}
+    pr_fp = fingerprint("analytics-pr", fp_seed, pagerank_iterations)
+    tri_fp = fingerprint("analytics-tri", fp_seed)
+    comm_fp = fingerprint("analytics-comm", fp_seed, 4)
+    core_fp = fingerprint("analytics-core", fp_seed)
+    pr = runner.run(
+        "analytics_pr",
+        pr_fp,
+        lambda: pagerank(_edges_g(), iterations=pagerank_iterations),
+        lineage_key="src",
+        bucket_spec=a_spec,
+    )
+    tri = runner.run(
+        "analytics_tri",
+        tri_fp,
+        lambda: triangle_counts(_edges_g()),
+        lineage_key="src",
+        bucket_spec=a_spec,
+    )
+    comm = runner.run(
+        "analytics_comm",
+        comm_fp,
+        lambda: label_propagation(_edges_g(), iterations=4),
+        lineage_key="src",
+        bucket_spec=a_spec,
+    )
+    core = runner.run(
+        "analytics_core",
+        core_fp,
+        lambda: k_core_numbers(_edges_g()),
+        lineage_key="src",
+        bucket_spec=a_spec,
+    )
+    return runner.run(
+        "analytics",
+        fingerprint("analytics-v4", pr_fp, tri_fp, comm_fp, core_fp, buckets),
+        lambda: fold_analytics(pr, tri, comm, core),
+        lineage_key="entity_id",
+        bucket_spec={
+            "cols": ["entity_id"],
+            "n": buckets,
+            "sort": ["entity_id"],
+        },
+    )
+
+
 def link_fingerprint(cfg: PipelineConfig, base_fp: str) -> str:
     """Fingerprint of the linking stage. Embedding knobs enter ONLY when
     the embedding leg is on, and then as an EXTRA element (ADVICE r6):
@@ -255,77 +338,12 @@ def run_pipeline(
 
     analytics = None
     if cfg.analytics:
-        # the four per-entity component tables are materialized BUCKETED on
-        # the entity id (one shuffle each, paid at write), so the 4-way
-        # fold below joins co-located scans with zero Exchange — and each
-        # component resumes independently (changing pagerank_iterations
-        # recomputes pagerank + the fold, not triangles/communities/core).
-        from ..operators.graph import (
-            cooccurrence_edges,
-            k_core_numbers,
-            label_propagation,
-            pagerank,
-            triangle_counts,
-        )
-
-        estate: dict[str, DataFrame] = {}
-
-        def _edges_g() -> DataFrame:
-            # shared edge list, derived once from the materialized triples
-            # and pinned so four component builds don't re-derive it
-            if "e" not in estate:
-                estate["e"] = cooccurrence_edges(triples).localCheckpoint(
-                    eager=True
-                )
-            return estate["e"]
-
-        a_spec = {"cols": ["src"], "n": cfg.link_buckets, "sort": ["src"]}
-        pr_fp = fingerprint(
-            "analytics-pr", link_fp, cfg.window_k, cfg.pagerank_iterations
-        )
-        tri_fp = fingerprint("analytics-tri", link_fp, cfg.window_k)
-        comm_fp = fingerprint("analytics-comm", link_fp, cfg.window_k, 4)
-        core_fp = fingerprint("analytics-core", link_fp, cfg.window_k)
-        pr = runner.run(
-            "analytics_pr",
-            pr_fp,
-            lambda: pagerank(_edges_g(), iterations=cfg.pagerank_iterations),
-            lineage_key="src",
-            bucket_spec=a_spec,
-        )
-        tri = runner.run(
-            "analytics_tri",
-            tri_fp,
-            lambda: triangle_counts(_edges_g()),
-            lineage_key="src",
-            bucket_spec=a_spec,
-        )
-        comm = runner.run(
-            "analytics_comm",
-            comm_fp,
-            lambda: label_propagation(_edges_g(), iterations=4),
-            lineage_key="src",
-            bucket_spec=a_spec,
-        )
-        core = runner.run(
-            "analytics_core",
-            core_fp,
-            lambda: k_core_numbers(_edges_g()),
-            lineage_key="src",
-            bucket_spec=a_spec,
-        )
-        analytics = runner.run(
-            "analytics",
-            fingerprint(
-                "analytics-v4", pr_fp, tri_fp, comm_fp, core_fp, cfg.link_buckets
-            ),
-            lambda: fold_analytics(pr, tri, comm, core),
-            lineage_key="entity_id",
-            bucket_spec={
-                "cols": ["entity_id"],
-                "n": cfg.link_buckets,
-                "sort": ["entity_id"],
-            },
+        analytics = run_analytics_stages(
+            runner,
+            triples,
+            fp_seed=fingerprint(link_fp, cfg.window_k),
+            pagerank_iterations=cfg.pagerank_iterations,
+            buckets=cfg.link_buckets,
         )
 
     metrics = {s: vars(m) for s, m in runner.metrics.items()}

@@ -30,4 +30,21 @@ def register_kg_views(
         name = f"{prefix}{table}"
         io.read(table).createOrReplaceTempView(name)
         registered.append(name)
+    if f"{prefix}analytics" in registered:
+        # staleness contract (VERDICT r6 item 6): an incremental fold that
+        # merged triples marks the analytics tables suspect; surface that
+        # to the analyst instead of serving silently stale centrality
+        from ..streaming.incremental import analytics_stale_reason
+
+        reason = analytics_stale_reason(warehouse)
+        if reason is not None:
+            import warnings
+
+            warnings.warn(
+                f"view {prefix}analytics may be STALE ({reason}): triples "
+                "were folded after the analytics tables were materialized. "
+                "Run streaming.incremental.refresh_analytics to re-establish "
+                "exact freshness.",
+                stacklevel=2,
+            )
     return registered

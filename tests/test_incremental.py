@@ -413,3 +413,78 @@ class TestIncrementalFold:
                 for r in want_entities.collect()
             }
             assert got == want, f"round {rnd} entities diverged"
+
+
+class TestAnalyticsRefresh:
+    """VERDICT r6 item 6: after a tail fold, refresh_analytics makes the
+    materialized analytics tables exactly equal a from-scratch
+    analytics_table over the folded triples — and when the tail did not
+    change the co-occurrence graph, every stage skips on the edge-set
+    fingerprint. The staleness marker is set by the fold and surfaced by
+    register_kg_views until the refresh clears it."""
+
+    MENTION_SCHEMA = TestIncrementalFold.MENTION_SCHEMA
+
+    def _mentions(self, spark, rows):
+        return TestIncrementalFold._mentions(self, spark, rows)
+
+    def test_refresh_equals_scratch_and_skips_unchanged_graph(
+        self, spark, tmp_path
+    ):
+        from runne_contrastive_ner_spark.plans.pipeline import analytics_table
+        from runne_contrastive_ner_spark.plans.views import register_kg_views
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+        from runne_contrastive_ner_spark.streaming.incremental import (
+            analytics_stale_reason,
+            incremental_kg_fold,
+            refresh_analytics,
+        )
+
+        wh = str(tmp_path / "awh")
+        io = TableIO(spark, wh)
+        batch1 = self._mentions(
+            spark,
+            [("c1", 0, "aa"), ("c1", 0, "bb"), ("c1", 1, "cc"),
+             ("c2", 0, "bb"), ("c2", 0, "cc")],
+        )
+        incremental_kg_fold(spark, io, batch1, batch1)
+        assert analytics_stale_reason(wh) is None  # no analytics yet
+        s1 = refresh_analytics(spark, io)
+        assert s1["refreshed"] and set(s1["rebuilt"]) == {
+            "analytics_pr", "analytics_tri", "analytics_comm",
+            "analytics_core", "analytics",
+        }
+
+        # tail that CHANGES the graph: a new co-occurring pair
+        batch2 = self._mentions(spark, [("c3", 0, "aa"), ("c3", 0, "dd")])
+        all2 = batch1.unionByName(batch2)
+        incremental_kg_fold(spark, io, all2, batch2)
+        assert analytics_stale_reason(wh) is not None
+        with pytest.warns(UserWarning, match="STALE"):
+            register_kg_views(spark, wh, prefix="t7a_")
+        s2 = refresh_analytics(spark, io)
+        assert analytics_stale_reason(wh) is None
+        assert "analytics" in s2["rebuilt"]
+        # exact freshness: folded-then-refreshed ≡ scratch over the folded
+        # triples (same operators, same defaults)
+        scratch = analytics_table(io.read("triples"))
+        assert sorted(map(tuple, io.read("analytics").collect())) == sorted(
+            map(tuple, scratch.collect())
+        )
+
+        # tail that does NOT change the graph: an existing pair re-occurs
+        # in a later turn of an existing conversation — triples change,
+        # the distinct edge set does not → every stage skips
+        batch3 = self._mentions(spark, [("c1", 5, "aa"), ("c1", 5, "bb")])
+        all3 = all2.unionByName(batch3)
+        incremental_kg_fold(spark, io, all3, batch3)
+        assert analytics_stale_reason(wh) is not None
+        s3 = refresh_analytics(spark, io)
+        assert s3["rebuilt"] == []
+        assert analytics_stale_reason(wh) is None
+        # and no warning once fresh
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            register_kg_views(spark, wh, prefix="t7b_")
