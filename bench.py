@@ -88,6 +88,53 @@ def scorer_kernel_bench(dtype="float64") -> float:
     return round(64 / best, 1)
 
 
+CANARY_HISTORY = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH", "canary_history.jsonl"
+)
+# a reading below this fraction of the host's rolling-best f32 probe marks
+# the artifact noise-suspect; 0.55 sits between the quiet-band spread
+# (~40-55 w/s on the round-1..6 host, ratio ≥0.7 within band) and the
+# measured noisy-neighbor collapses (6-10x, ratio ≤0.2)
+CANARY_SUSPECT_FRACTION = 0.55
+# absolute floor used only until the history has a first entry for the host
+CANARY_BOOTSTRAP_FLOOR = 30.0
+
+
+def _host_id() -> str:
+    import platform
+
+    return f"{platform.node()}|cpus={os.cpu_count()}"
+
+
+def _canary_suspect(f32_reading: float) -> bool:
+    """Noise judgement against THIS host's committed rolling best (ADVICE
+    r6: an absolute threshold calibrated to one host class permanently
+    flags any slower machine). Appends the raw reading + host identity to
+    the history, so the judgement is reproducible from the artifact set."""
+    host = _host_id()
+    best = 0.0
+    try:
+        with open(CANARY_HISTORY) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("host") == host:
+                    best = max(best, float(rec.get("f32", 0.0)))
+    except OSError:
+        pass
+    try:
+        os.makedirs(os.path.dirname(CANARY_HISTORY), exist_ok=True)
+        with open(CANARY_HISTORY, "a") as f:
+            json.dump(
+                {"host": host, "f32": f32_reading, "ts": time.time()}, f
+            )
+            f.write("\n")
+    except OSError:
+        pass
+    if best <= 0.0:
+        return bool(f32_reading < CANARY_BOOTSTRAP_FLOOR)
+    return bool(f32_reading < CANARY_SUSPECT_FRACTION * max(best, f32_reading))
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -232,6 +279,15 @@ def main():
     t0 = time.time()
     stats_tail = run_streaming_job(spark, tdir, swh)
     stream_tail = time.time() - t0
+    # attribution run (VERDICT r6): NO new files — pure fixed overhead
+    # (stream spin-up + availableNow drain + fold skip). The honest tail
+    # economics are (tail - noop) vs (cold - noop): at small SF the fixed
+    # overhead dominates both absolute walls, which is what made r6's
+    # tail ≈ cold; the overhead-corrected ratio shows the delta
+    # confinement.
+    t0 = time.time()
+    run_streaming_job(spark, tdir, swh)
+    stream_noop = time.time() - t0
     shutil.rmtree(sdir, ignore_errors=True)
     shutil.rmtree(swh, ignore_errors=True)
 
@@ -255,14 +311,19 @@ def main():
         "scorer_batch_windows_per_sec": scorer_windows_sec,
         "scorer_batch_windows_per_sec_f32": scorer_windows_sec_f32,
         # load canary: the pre-session pure-numpy kernel probe doubles as a
-        # host-noise detector — quiet-period runs read ~40-55 w/s (f32);
-        # hypervisor-neighbor periods have measured as low as 7 w/s (6x)
-        # with ZERO local load. When this flag is true, every wall in this
-        # artifact is noise-suspect and should be re-measured before being
-        # compared across rounds.
-        "host_noise_suspect": bool(scorer_windows_sec_f32 < 30.0),
+        # host-noise detector — hypervisor-neighbor periods have measured
+        # 6-10x slowdowns with ZERO local load. The threshold is NOT a
+        # hard-coded absolute (ADVICE r6: that misreads an ordinarily
+        # slower host as permanently noisy): it is a fraction of the best
+        # f32 reading recorded for THIS host in the committed canary
+        # history (BENCH/canary_history.jsonl; the raw reading + host
+        # identity are appended every run). When this flag is true, every
+        # wall in this artifact is noise-suspect and should be re-measured
+        # before being compared across rounds.
+        "host_noise_suspect": _canary_suspect(scorer_windows_sec_f32),
         "stream_cold_sec": round(stream_cold, 3),
         "stream_tail_sec": round(stream_tail, 3),
+        "stream_noop_sec": round(stream_noop, 3),
         "stream_cold_batches": stats_cold["new_batches"],
         "stream_tail_new_batches": stats_tail["new_batches"],
         "stream_mentions": stats_tail["mentions"],
