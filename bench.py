@@ -116,7 +116,12 @@ def _canary_suspect(f32_reading: float) -> bool:
     try:
         with open(CANARY_HISTORY) as f:
             for line in f:
-                rec = json.loads(line)
+                # a run killed mid-append can leave a torn line; skip it
+                # rather than losing the whole bench run's results
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
                 if rec.get("host") == host:
                     best = max(best, float(rec.get("f32", 0.0)))
     except OSError:

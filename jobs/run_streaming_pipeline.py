@@ -45,6 +45,8 @@ def run_streaming(
     transcripts_dir: str,
     warehouse: str,
     analytics: bool = False,
+    pagerank_iterations: int = 3,
+    analytics_buckets: int = 16,
 ) -> dict:
     from runne_contrastive_ner_spark.sources.tables import TableIO
     from runne_contrastive_ner_spark.streaming.incremental import (
@@ -124,8 +126,16 @@ def run_streaming(
     }
     if analytics:
         # exact freshness keyed on the edge-set fingerprint: a tail that
-        # did not change the co-occurrence graph skips every stage
-        a_stats = refresh_analytics(spark, io)
+        # did not change the co-occurrence graph skips every stage. The
+        # hyperparameters MUST match the pipeline config that built the
+        # warehouse (same flags as run_kg_pipeline) or a rebuild silently
+        # changes what the centrality scores mean.
+        a_stats = refresh_analytics(
+            spark,
+            io,
+            pagerank_iterations=pagerank_iterations,
+            buckets=analytics_buckets,
+        )
         out["analytics_rebuilt"] = a_stats.get("rebuilt", [])
         out["analytics_rows"] = a_stats.get("rows")
     return out
@@ -142,6 +152,19 @@ def main() -> None:
         help="after the fold, refresh the materialized analytics tables "
         "(skips entirely when the co-occurrence graph is unchanged)",
     )
+    ap.add_argument(
+        "--pagerank-iterations",
+        type=int,
+        default=3,
+        help="must match the batch pipeline config that built the warehouse",
+    )
+    ap.add_argument(
+        "--analytics-buckets",
+        type=int,
+        default=16,
+        help="bucket count for the analytics component tables (match the "
+        "batch pipeline's link_buckets)",
+    )
     args = ap.parse_args()
 
     from runne_contrastive_ner_spark.session import build_session
@@ -149,7 +172,12 @@ def main() -> None:
     spark = build_session(app_name="kg-streaming")
     spark.sparkContext.setLogLevel("ERROR")
     stats = run_streaming(
-        spark, args.transcripts_dir, args.warehouse, analytics=args.analytics
+        spark,
+        args.transcripts_dir,
+        args.warehouse,
+        analytics=args.analytics,
+        pagerank_iterations=args.pagerank_iterations,
+        analytics_buckets=args.analytics_buckets,
     )
     print(json.dumps(stats))
     spark.stop()

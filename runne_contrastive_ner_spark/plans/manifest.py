@@ -90,7 +90,12 @@ class StageRunner:
         partition_cols: list[str] | None = None,
         lineage_key: str | None = None,
         bucket_spec: dict | None = None,
+        extra: dict | None = None,
     ) -> DataFrame:
+        """``extra``: additional key/values recorded in the manifest when
+        the stage BUILDS (ignored on skip — the existing manifest already
+        carries its build-time values). May be a mutable dict the build
+        callable populates: it is read only after ``build()`` returns."""
         path = self.io.path(stage)
         existing = load_manifest(path)
         if existing is not None and existing.fingerprint == fp and self.io.exists(stage):
@@ -111,7 +116,10 @@ class StageRunner:
             files=getattr(self.io, "file_stats", lambda _t: {})(stage),
             extra={
                 # lineage: which snapshot this manifest describes
-                "snapshot": getattr(self.io, "current_version", lambda _t: None)(stage)
+                "snapshot": getattr(self.io, "current_version", lambda _t: None)(
+                    stage
+                ),
+                **(extra or {}),
             },
         )
         write_manifest(path, mf)

@@ -131,6 +131,7 @@ def run_analytics_stages(
     pagerank_iterations: int = 3,
     buckets: int = 16,
     edges: DataFrame | None = None,
+    edges_fp: str | None = None,
 ) -> DataFrame:
     """The analytics stage group: the four per-entity component tables are
     materialized BUCKETED on the entity id (one shuffle each, paid at
@@ -140,8 +141,11 @@ def run_analytics_stages(
     communities / core). ``fp_seed`` keys the stage fingerprints: the batch
     pipeline seeds with its config lineage (link fingerprint + window_k);
     the incremental refresh (streaming/incremental.refresh_analytics) seeds
-    with the EDGE-SET fingerprint, so an unchanged graph skips every stage.
-    Pass a pre-checkpointed ``edges`` to avoid re-deriving the edge list."""
+    with the EDGE-SET fingerprint. Whatever the seed, any build records the
+    graph's edge-set fingerprint in the fold manifest (``edges_fp`` extra),
+    which is how the refresh proves freshness for batch-built warehouses
+    too. Pass a pre-checkpointed ``edges`` (and its ``edges_fp``, if
+    already computed) to avoid re-deriving them."""
     from ..operators.graph import (
         cooccurrence_edges,
         k_core_numbers,
@@ -150,15 +154,27 @@ def run_analytics_stages(
         triangle_counts,
     )
 
-    estate: dict[str, DataFrame] = {}
+    estate: dict = {}
     if edges is not None:
         estate["e"] = edges
+    fold_extra: dict = {}
+    if edges_fp is not None:
+        fold_extra["edges_fp"] = edges_fp
 
     def _edges_g() -> DataFrame:
         # shared edge list, derived once from the materialized triples and
-        # pinned so four component builds don't re-derive it
+        # pinned so four component builds don't re-derive it. Whenever any
+        # component actually BUILDS, the edge-set fingerprint is computed
+        # (one aggregation over the checkpointed list — cheap next to the
+        # iterative ops) and recorded in the fold manifest, so
+        # refresh_analytics can later prove freshness against the current
+        # graph regardless of which seed scheme built these tables.
         if "e" not in estate:
             estate["e"] = cooccurrence_edges(triples).localCheckpoint(eager=True)
+        if "edges_fp" not in fold_extra:
+            from ..streaming.incremental import edges_fingerprint
+
+            fold_extra["edges_fp"] = edges_fingerprint(estate["e"])
         return estate["e"]
 
     a_spec = {"cols": ["src"], "n": buckets, "sort": ["src"]}
@@ -204,16 +220,22 @@ def run_analytics_stages(
             "n": buckets,
             "sort": ["entity_id"],
         },
+        extra=fold_extra,
     )
 
 
 def link_fingerprint(cfg: PipelineConfig, base_fp: str) -> str:
     """Fingerprint of the linking stage. Embedding knobs enter ONLY when
     the embedding leg is on, and then as an EXTRA element (ADVICE r6):
-    with the leg off the arg list is byte-identical to the pre-embedding
-    releases, so existing non-embedding warehouses keep their fingerprints
-    and never recompute on upgrade; only embedding-enabled warehouses take
-    the one-time invalidation the knobs genuinely imply."""
+    with the leg off the arg list is byte-identical to the PRE-EMBEDDING
+    releases, so warehouses from those releases keep their fingerprints on
+    upgrade; only embedding-enabled warehouses take the invalidation the
+    knobs genuinely imply. Known exception, accepted: a non-embedding
+    warehouse built by the one intermediate release whose OFF-shape
+    carried a literal ``None`` element recomputes once when upgraded to
+    this shape — restoring the long-term stable contract costs that
+    cohort a single recompute (safe: content is re-derived, never
+    wrong)."""
     link_args: list = [
         "link",
         base_fp,
@@ -338,6 +360,7 @@ def run_pipeline(
 
     analytics = None
     if cfg.analytics:
+        _v_before = getattr(io, "current_version", lambda _t: None)("analytics")
         analytics = run_analytics_stages(
             runner,
             triples,
@@ -345,6 +368,26 @@ def run_pipeline(
             pagerank_iterations=cfg.pagerank_iterations,
             buckets=cfg.link_buckets,
         )
+        # if the fold REBUILT, the analytics group now derives from the
+        # current triples stage, so any staleness marker a previous
+        # incremental fold left behind is obsolete — without this,
+        # register_kg_views would warn STALE forever about tables the
+        # batch run just rebuilt. If every stage SKIPPED, the marker (if
+        # any) stays: an incremental fold may have merged new triples
+        # content under an unchanged stage fingerprint, and these
+        # manifests know nothing about that — refresh_analytics is the
+        # path that proves freshness there.
+        if (
+            getattr(io, "current_version", lambda _t: None)("analytics")
+            != _v_before
+        ):
+            import os as _os
+
+            from ..streaming.incremental import _stale_marker_path
+
+            _p = _stale_marker_path(cfg.warehouse)
+            if _os.path.exists(_p):
+                _os.remove(_p)
 
     metrics = {s: vars(m) for s, m in runner.metrics.items()}
     return PipelineResult(mentions, entities, edges, triples, metrics, analytics)

@@ -200,10 +200,19 @@ _BLANK_OR_COMMENT = r"^\s*(#.*)?$"
 def _decode_or_raw(content: Column, ns: str) -> Column:
     """Engine-namespace IRI content decodes back to the bare id; any other
     IRI passes through as the raw IRI text (http://..., urn:uuid:..., a
-    third party's namespace) so foreign graphs keep their identity."""
+    third party's namespace) so foreign graphs keep their identity. The
+    decode is ``try_url_decode`` with a raw-IRI fallback: a FOREIGN file
+    may use the engine prefix with content that is not valid
+    percent-encoding (e.g. ``urn:kg:ent:100%off``), and the tolerant scan
+    must keep the row rather than fail the whole job on it."""
     return F.when(
         content.startswith(ns),
-        F.url_decode(content.substr(F.lit(len(ns) + 1), F.length(content))),
+        F.coalesce(
+            F.try_url_decode(
+                content.substr(F.lit(len(ns) + 1), F.length(content))
+            ),
+            content,
+        ),
     ).otherwise(content)
 
 

@@ -266,11 +266,14 @@ def incremental_kg_fold(
     # the merged triples MAY have changed the co-occurrence graph, so any
     # materialized analytics tables are suspect until refresh_analytics
     # re-establishes exact freshness (edge-set fingerprint comparison).
-    # The marker is a cheap file write — no extra Spark job in the fold.
-    if io.exists("analytics"):
+    # The marker is a cheap file write — no extra Spark job in the fold —
+    # and is skipped for a no-op fold (zero delta conversations ⇒ the
+    # merge rewrote nothing, so the graph is provably unchanged).
+    n_delta = delta_convs.count()
+    if io.exists("analytics") and n_delta > 0:
         mark_analytics_stale(io.warehouse, reason="incremental_kg_fold merge")
     return {
-        "delta_convs": delta_convs.count(),
+        "delta_convs": n_delta,
         "changed_surfaces": changed.count(),
         "incremental": prev_exists,
     }
@@ -345,6 +348,8 @@ def refresh_analytics(
     from ..plans.manifest import StageRunner, fingerprint
     from ..plans.pipeline import run_analytics_stages
 
+    from ..plans.manifest import load_manifest
+
     if not io.exists("triples"):
         return {"refreshed": False, "reason": "no triples table"}
     stage_names = (
@@ -360,6 +365,30 @@ def refresh_analytics(
     triples = io.read("triples")
     edges = cooccurrence_edges(triples).localCheckpoint(eager=True)
     efp = edges_fingerprint(edges)
+
+    def _clear_marker() -> None:
+        p = _stale_marker_path(io.warehouse)
+        if os.path.exists(p):
+            os.remove(p)
+
+    # freshness proof that works ACROSS seed schemes: every build of the
+    # analytics group (batch config-seeded OR refresh edge-seeded) records
+    # the graph's edge-set fingerprint in the fold manifest — if it matches
+    # the current graph, the tables are exact regardless of who built them,
+    # and nothing recomputes (the common no-graph-change tail).
+    fold_mf = load_manifest(io.path("analytics"))
+    if (
+        fold_mf is not None
+        and fold_mf.extra.get("edges_fp") == efp
+        and io.exists("analytics")
+    ):
+        _clear_marker()
+        return {
+            "refreshed": True,
+            "edges_fp": efp,
+            "rebuilt": [],
+            "rows": fold_mf.rows,
+        }
     runner = StageRunner(io)
     run_analytics_stages(
         runner,
@@ -368,10 +397,9 @@ def refresh_analytics(
         pagerank_iterations=pagerank_iterations,
         buckets=buckets,
         edges=edges,
+        edges_fp=efp,
     )
-    p = _stale_marker_path(io.warehouse)
-    if os.path.exists(p):
-        os.remove(p)
+    _clear_marker()
     rebuilt = [
         s
         for s in stage_names

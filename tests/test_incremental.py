@@ -488,3 +488,33 @@ class TestAnalyticsRefresh:
         with _w.catch_warnings():
             _w.simplefilter("error")
             register_kg_views(spark, wh, prefix="t7b_")
+
+    def test_refresh_skips_batch_built_warehouse(self, spark, tmp_path):
+        """Cross-seed freshness (review finding): a warehouse whose
+        analytics were built by the BATCH pipeline (config-seeded stage
+        fingerprints) must not be recomputed by refresh_analytics when the
+        graph is unchanged — the fold manifest's recorded edge-set
+        fingerprint is the proof, whatever seeded the build. The refresh
+        also clears a stray staleness marker without rebuilding."""
+        from runne_contrastive_ner_spark.plans.pipeline import (
+            PipelineConfig,
+            run_pipeline,
+        )
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+        from runne_contrastive_ner_spark.sources.transcripts import synthesize
+        from runne_contrastive_ner_spark.streaming.incremental import (
+            analytics_stale_reason,
+            mark_analytics_stale,
+            refresh_analytics,
+        )
+
+        t = synthesize(spark, n_convs=4, turns_per_conv=6, long_conv_turns=0)
+        wh = str(tmp_path / "bwh")
+        cfg = PipelineConfig(warehouse=wh, analytics=True)
+        res = run_pipeline(spark, t, cfg, input_fp="b1")
+        assert res.analytics is not None
+        io = TableIO(spark, wh)
+        mark_analytics_stale(wh, reason="test stray marker")
+        s = refresh_analytics(spark, io)
+        assert s["refreshed"] and s["rebuilt"] == []
+        assert analytics_stale_reason(wh) is None

@@ -1192,6 +1192,10 @@ class TestRdfAndViews:
             '"x-1"^^<http://www.w3.org/2001/XMLSchema#string> .\n'
             "_:b1 <http://example.org/linkedTo> _:b2 .\n"
             "<urn:kg:ent:anna%20k> <urn:kg:pred:knows> <urn:kg:ent:bob> .\n"
+            # engine PREFIX but invalid percent-encoding: a foreign id the
+            # scan must keep (as the raw full IRI) instead of crashing the
+            # job on url_decode
+            "<urn:kg:ent:100%off> <urn:kg:pred:p> <urn:kg:ent:bob> .\n"
             "\n"
         )
         rows = {tuple(r) for r in read_ntriples(spark, str(d)).collect()}
@@ -1210,6 +1214,7 @@ class TestRdfAndViews:
              "x-1", "string"),
             ("_:b1", "http://example.org/linkedTo", "_:b2", "bnode"),
             ("anna k", "knows", "bob", "iri"),
+            ("urn:kg:ent:100%off", "p", "bob", "iri"),
         }
 
     def test_ntriples_scan_report_and_rejects(self, spark, tmp_path):
