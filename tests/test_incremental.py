@@ -518,3 +518,29 @@ class TestAnalyticsRefresh:
         s = refresh_analytics(spark, io)
         assert s["refreshed"] and s["rebuilt"] == []
         assert analytics_stale_reason(wh) is None
+
+    def test_noop_fold_does_not_mark_stale(self, spark, tmp_path):
+        """A fold whose batch yields zero delta conversations (re-delivered
+        already-folded content) rewrites nothing, so it must NOT mark the
+        analytics tables stale (review finding: unconditional marker)."""
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+        from runne_contrastive_ner_spark.streaming.incremental import (
+            analytics_stale_reason,
+            incremental_kg_fold,
+            refresh_analytics,
+        )
+
+        wh = str(tmp_path / "nwh")
+        io = TableIO(spark, wh)
+        batch = self._mentions(
+            spark, [("c1", 0, "aa"), ("c1", 0, "bb"), ("c2", 0, "cc")]
+        )
+        incremental_kg_fold(spark, io, batch, batch)
+        refresh_analytics(spark, io)
+        assert analytics_stale_reason(wh) is None
+        # re-fold with an EMPTY new batch: all_mentions unchanged, no new
+        # convs, no canonical-id movement → delta_convs 0 → no marker
+        empty = self._mentions(spark, [])
+        s = incremental_kg_fold(spark, io, batch, empty)
+        assert s["delta_convs"] == 0 and s["changed_surfaces"] == 0
+        assert analytics_stale_reason(wh) is None
