@@ -160,6 +160,14 @@ def run_analytics_stages(
     fold_extra: dict = {}
     if edges_fp is not None:
         fold_extra["edges_fp"] = edges_fp
+    # cheap freshness tier for refresh_analytics: the triples SNAPSHOT
+    # VERSION this analytics build derives from (a pointer-file read, no
+    # Spark job). An unchanged version proves an unchanged graph without
+    # even deriving the edge list — at 100 TB that skips the one distinct
+    # shuffle the edge fingerprint would cost.
+    fold_extra["triples_snapshot"] = getattr(
+        runner.io, "current_version", lambda _t: None
+    )("triples")
 
     def _edges_g() -> DataFrame:
         # shared edge list, derived once from the materialized triples and

@@ -544,3 +544,37 @@ class TestAnalyticsRefresh:
         s = incremental_kg_fold(spark, io, batch, empty)
         assert s["delta_convs"] == 0 and s["changed_surfaces"] == 0
         assert analytics_stale_reason(wh) is None
+
+    def test_refresh_tier1_skips_without_deriving_edges(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """When the triples snapshot version is unchanged since the
+        analytics build, the refresh must prove freshness from the fold
+        manifest alone — ZERO Spark jobs, not even the edge-list
+        derivation (the distinct shuffle that would dominate a no-op
+        refresh at corpus scale). Asserted by making edge derivation
+        explode: tier 1 must never reach it."""
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+        from runne_contrastive_ner_spark.streaming.incremental import (
+            incremental_kg_fold,
+            refresh_analytics,
+        )
+
+        wh = str(tmp_path / "twh")
+        io = TableIO(spark, wh)
+        batch = self._mentions(
+            spark, [("c1", 0, "aa"), ("c1", 0, "bb"), ("c2", 0, "cc")]
+        )
+        incremental_kg_fold(spark, io, batch, batch)
+        s1 = refresh_analytics(spark, io)
+        assert s1["rebuilt"]  # first build
+
+        def _boom(_triples):
+            raise AssertionError("tier 1 must not derive the edge list")
+
+        import runne_contrastive_ner_spark.operators.graph as graph_mod
+
+        monkeypatch.setattr(graph_mod, "cooccurrence_edges", _boom)
+        s2 = refresh_analytics(spark, io)
+        assert s2["refreshed"] and s2["rebuilt"] == []
+        assert s2["rows"] == s1["rows"]
