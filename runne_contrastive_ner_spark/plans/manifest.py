@@ -59,9 +59,16 @@ def load_manifest(table_path: str) -> StageManifest | None:
 
 
 def write_manifest(table_path: str, manifest: StageManifest) -> None:
+    # atomic (tmp + rename): the manifest may be REWRITTEN over a valid
+    # predecessor (refresh_analytics advances the recorded snapshot in
+    # place) — a torn write would permanently break both stage resume and
+    # the freshness tiers, with nothing to rebuild it
     os.makedirs(table_path, exist_ok=True)
-    with open(manifest_path(table_path), "w") as f:
+    p = manifest_path(table_path)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(asdict(manifest), f, indent=1, sort_keys=True)
+    os.replace(tmp, p)
 
 
 def partition_lineage(df: DataFrame, key_col: str | None) -> dict[str, int]:

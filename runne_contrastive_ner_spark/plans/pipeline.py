@@ -132,6 +132,7 @@ def run_analytics_stages(
     buckets: int = 16,
     edges: DataFrame | None = None,
     edges_fp: str | None = None,
+    seeded_by_graph: bool = False,
 ) -> DataFrame:
     """The analytics stage group: the four per-entity component tables are
     materialized BUCKETED on the entity id (one shuffle each, paid at
@@ -141,11 +142,18 @@ def run_analytics_stages(
     communities / core). ``fp_seed`` keys the stage fingerprints: the batch
     pipeline seeds with its config lineage (link fingerprint + window_k);
     the incremental refresh (streaming/incremental.refresh_analytics) seeds
-    with the EDGE-SET fingerprint. Whatever the seed, any build records the
-    graph's edge-set fingerprint in the fold manifest (``edges_fp`` extra),
-    which is how the refresh proves freshness for batch-built warehouses
-    too. Pass a pre-checkpointed ``edges`` (and its ``edges_fp``, if
-    already computed) to avoid re-deriving them."""
+    with the EDGE-SET fingerprint and passes ``seeded_by_graph=True``.
+
+    FRESHNESS RECORDING (what refresh_analytics later trusts): the fold
+    manifest gets ``edges_fp`` / ``triples_snapshot`` / hyperparameter
+    extras ONLY when every component table provably derives from the
+    CURRENT graph — i.e. all four components rebuilt in THIS invocation,
+    or the stage fingerprints are graph-seeded (then even a skipped
+    component's fingerprint embeds the current edge fingerprint). A batch
+    run whose config fingerprints let stale components skip after an
+    out-of-band incremental merge must NOT mint a freshness proof for
+    them (review finding). Pass a pre-checkpointed ``edges`` (and its
+    ``edges_fp``, if already computed) to avoid re-deriving them."""
     from ..operators.graph import (
         cooccurrence_edges,
         k_core_numbers,
@@ -157,33 +165,30 @@ def run_analytics_stages(
     estate: dict = {}
     if edges is not None:
         estate["e"] = edges
-    fold_extra: dict = {}
     if edges_fp is not None:
-        fold_extra["edges_fp"] = edges_fp
-    # cheap freshness tier for refresh_analytics: the triples SNAPSHOT
-    # VERSION this analytics build derives from (a pointer-file read, no
-    # Spark job). An unchanged version proves an unchanged graph without
-    # even deriving the edge list — at 100 TB that skips the one distinct
-    # shuffle the edge fingerprint would cost.
-    fold_extra["triples_snapshot"] = getattr(
-        runner.io, "current_version", lambda _t: None
-    )("triples")
+        estate["efp"] = edges_fp
+    built: set = set()
+    fold_extra: dict = {}
 
     def _edges_g() -> DataFrame:
         # shared edge list, derived once from the materialized triples and
-        # pinned so four component builds don't re-derive it. Whenever any
-        # component actually BUILDS, the edge-set fingerprint is computed
-        # (one aggregation over the checkpointed list — cheap next to the
-        # iterative ops) and recorded in the fold manifest, so
-        # refresh_analytics can later prove freshness against the current
-        # graph regardless of which seed scheme built these tables.
+        # pinned so four component builds don't re-derive it; its
+        # fingerprint (one aggregation over the checkpointed list — cheap
+        # next to the iterative ops) is computed alongside
         if "e" not in estate:
             estate["e"] = cooccurrence_edges(triples).localCheckpoint(eager=True)
-        if "edges_fp" not in fold_extra:
+        if "efp" not in estate:
             from ..streaming.incremental import edges_fingerprint
 
-            fold_extra["edges_fp"] = edges_fingerprint(estate["e"])
+            estate["efp"] = edges_fingerprint(estate["e"])
         return estate["e"]
+
+    def _component(name, fn):
+        def build():
+            built.add(name)
+            return fn()
+
+        return build
 
     a_spec = {"cols": ["src"], "n": buckets, "sort": ["src"]}
     pr_fp = fingerprint("analytics-pr", fp_seed, pagerank_iterations)
@@ -193,35 +198,50 @@ def run_analytics_stages(
     pr = runner.run(
         "analytics_pr",
         pr_fp,
-        lambda: pagerank(_edges_g(), iterations=pagerank_iterations),
+        _component("pr", lambda: pagerank(_edges_g(), iterations=pagerank_iterations)),
         lineage_key="src",
         bucket_spec=a_spec,
     )
     tri = runner.run(
         "analytics_tri",
         tri_fp,
-        lambda: triangle_counts(_edges_g()),
+        _component("tri", lambda: triangle_counts(_edges_g())),
         lineage_key="src",
         bucket_spec=a_spec,
     )
     comm = runner.run(
         "analytics_comm",
         comm_fp,
-        lambda: label_propagation(_edges_g(), iterations=4),
+        _component("comm", lambda: label_propagation(_edges_g(), iterations=4)),
         lineage_key="src",
         bucket_spec=a_spec,
     )
     core = runner.run(
         "analytics_core",
         core_fp,
-        lambda: k_core_numbers(_edges_g()),
+        _component("core", lambda: k_core_numbers(_edges_g())),
         lineage_key="src",
         bucket_spec=a_spec,
     )
+
+    def _fold_build():
+        sound = seeded_by_graph or built == {"pr", "tri", "comm", "core"}
+        if sound and "efp" in estate:
+            fold_extra["edges_fp"] = estate["efp"]
+            # the triples SNAPSHOT VERSION this build derives from (a
+            # pointer-file read, no Spark job) — refresh tier 1 compares
+            # it to skip even the edge-list derivation when nothing merged
+            fold_extra["triples_snapshot"] = getattr(
+                runner.io, "current_version", lambda _t: None
+            )("triples")
+            fold_extra["pagerank_iterations"] = pagerank_iterations
+            fold_extra["buckets"] = buckets
+        return fold_analytics(pr, tri, comm, core)
+
     return runner.run(
         "analytics",
         fingerprint("analytics-v4", pr_fp, tri_fp, comm_fp, core_fp, buckets),
-        lambda: fold_analytics(pr, tri, comm, core),
+        _fold_build,
         lineage_key="entity_id",
         bucket_spec={
             "cols": ["entity_id"],
@@ -368,7 +388,6 @@ def run_pipeline(
 
     analytics = None
     if cfg.analytics:
-        _v_before = getattr(io, "current_version", lambda _t: None)("analytics")
         analytics = run_analytics_stages(
             runner,
             triples,
@@ -376,26 +395,23 @@ def run_pipeline(
             pagerank_iterations=cfg.pagerank_iterations,
             buckets=cfg.link_buckets,
         )
-        # if the fold REBUILT, the analytics group now derives from the
-        # current triples stage, so any staleness marker a previous
-        # incremental fold left behind is obsolete — without this,
-        # register_kg_views would warn STALE forever about tables the
-        # batch run just rebuilt. If every stage SKIPPED, the marker (if
-        # any) stays: an incremental fold may have merged new triples
-        # content under an unchanged stage fingerprint, and these
-        # manifests know nothing about that — refresh_analytics is the
-        # path that proves freshness there.
-        if (
-            getattr(io, "current_version", lambda _t: None)("analytics")
-            != _v_before
-        ):
-            import os as _os
+        # clear any staleness marker a previous incremental fold left
+        # behind ONLY when the fold manifest now PROVES freshness against
+        # the current triples snapshot (run_analytics_stages records that
+        # proof exactly when every component derives from the current
+        # graph). A partial rebuild over stale skipped components, or a
+        # full skip after an out-of-band merge, leaves the marker — and
+        # the STALE warning — in force; refresh_analytics is the path
+        # that re-establishes freshness there (review finding).
+        from .manifest import load_manifest
+        from ..streaming.incremental import clear_analytics_stale
 
-            from ..streaming.incremental import _stale_marker_path
-
-            _p = _stale_marker_path(cfg.warehouse)
-            if _os.path.exists(_p):
-                _os.remove(_p)
+        _mf = load_manifest(io.path("analytics"))
+        _rec = None if _mf is None else _mf.extra.get("triples_snapshot")
+        if _rec is not None and _rec == getattr(
+            io, "current_version", lambda _t: None
+        )("triples"):
+            clear_analytics_stale(cfg.warehouse)
 
     metrics = {s: vars(m) for s, m in runner.metrics.items()}
     return PipelineResult(mentions, entities, edges, triples, metrics, analytics)

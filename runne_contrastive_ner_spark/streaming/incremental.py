@@ -241,6 +241,21 @@ def incremental_kg_fold(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # a zero-delta fold (re-delivered content that is already folded: no
+    # new conversations, no canonical-id movement) provably changes
+    # NEITHER table — the entity stats merged to their previous values and
+    # no conversation's triples re-derive. Returning before the writes
+    # avoids a full entities rewrite + an empty pruned-merge snapshot, and
+    # keeps the triples version stable so the next analytics refresh takes
+    # the zero-job tier-1 path (review finding). delta_convs is already
+    # checkpointed, so the count is cheap.
+    n_delta = delta_convs.count()
+    if prev_exists and n_delta == 0 and io.exists("triples"):
+        return {
+            "delta_convs": 0,
+            "changed_surfaces": 0,
+            "incremental": True,
+        }
     mentions_delta = all_mentions.join(delta_convs, "conv_id", "left_semi")
     linked_delta = mentions_delta.join(
         entities.select("surface_norm", "canonical_id", "entity_id"),
@@ -266,11 +281,9 @@ def incremental_kg_fold(
     # the merged triples MAY have changed the co-occurrence graph, so any
     # materialized analytics tables are suspect until refresh_analytics
     # re-establishes exact freshness (edge-set fingerprint comparison).
-    # The marker is a cheap file write — no extra Spark job in the fold —
-    # and is skipped for a no-op fold (zero delta conversations ⇒ the
-    # merge rewrote nothing, so the graph is provably unchanged).
-    n_delta = delta_convs.count()
-    if io.exists("analytics") and n_delta > 0:
+    # The marker is a cheap file write — no extra Spark job in the fold.
+    # (The zero-delta case returned above without touching any table.)
+    if io.exists("analytics"):
         mark_analytics_stale(io.warehouse, reason="incremental_kg_fold merge")
     return {
         "delta_convs": n_delta,
@@ -292,6 +305,14 @@ def mark_analytics_stale(warehouse: str, reason: str) -> None:
     os.makedirs(warehouse, exist_ok=True)
     with open(_stale_marker_path(warehouse), "w") as f:
         json.dump({"reason": reason}, f)
+
+
+def clear_analytics_stale(warehouse: str) -> None:
+    """Remove the staleness marker (the single implementation both
+    refresh_analytics and the batch pipeline use)."""
+    p = _stale_marker_path(warehouse)
+    if os.path.exists(p):
+        os.remove(p)
 
 
 def analytics_stale_reason(warehouse: str) -> str | None:
@@ -350,10 +371,13 @@ def refresh_analytics(
     cliff, the refresh recomputes and relies on the fingerprint skip for
     the no-change case. Clears the staleness marker on success."""
     from ..operators.graph import cooccurrence_edges
-    from ..plans.manifest import StageRunner, fingerprint
+    from ..plans.manifest import (
+        StageRunner,
+        fingerprint,
+        load_manifest,
+        write_manifest,
+    )
     from ..plans.pipeline import run_analytics_stages
-
-    from ..plans.manifest import load_manifest, write_manifest
 
     if not io.exists("triples"):
         return {"refreshed": False, "reason": "no triples table"}
@@ -369,11 +393,20 @@ def refresh_analytics(
     }
 
     def _clear_marker() -> None:
-        p = _stale_marker_path(io.warehouse)
-        if os.path.exists(p):
-            os.remove(p)
+        clear_analytics_stale(io.warehouse)
 
     fold_mf = load_manifest(io.path("analytics"))
+
+    def _params_match(mf) -> bool:
+        # tiers 1/2 prove only GRAPH freshness; a refresh requesting
+        # different hyperparameters than the build recorded must fall to
+        # tier 3 (review finding: the knobs would otherwise be silently
+        # ignored). Manifests from before the recording carry no params
+        # and also fall through.
+        return (
+            mf.extra.get("pagerank_iterations") == pagerank_iterations
+            and mf.extra.get("buckets") == buckets
+        )
     # freshness tier 1 (zero Spark jobs): the fold manifest records which
     # triples SNAPSHOT VERSION it derived from; if the pointer still names
     # that version, nothing has merged since the build — the tables are
@@ -384,6 +417,7 @@ def refresh_analytics(
         fold_mf is not None
         and cur_triples_v is not None
         and fold_mf.extra.get("triples_snapshot") == cur_triples_v
+        and _params_match(fold_mf)
         and io.exists("analytics")
     ):
         _clear_marker()
@@ -405,6 +439,7 @@ def refresh_analytics(
     if (
         fold_mf is not None
         and fold_mf.extra.get("edges_fp") == efp
+        and _params_match(fold_mf)
         and io.exists("analytics")
     ):
         fold_mf.extra["triples_snapshot"] = cur_triples_v
@@ -425,6 +460,7 @@ def refresh_analytics(
         buckets=buckets,
         edges=edges,
         edges_fp=efp,
+        seeded_by_graph=True,
     )
     _clear_marker()
     rebuilt = [

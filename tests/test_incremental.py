@@ -578,3 +578,47 @@ class TestAnalyticsRefresh:
         s2 = refresh_analytics(spark, io)
         assert s2["refreshed"] and s2["rebuilt"] == []
         assert s2["rows"] == s1["rows"]
+
+    def test_partial_batch_rebuild_mints_no_freshness_proof(
+        self, spark, tmp_path
+    ):
+        """Review finding: a batch run whose config fingerprints let some
+        component tables SKIP must not record a freshness proof — only a
+        run where every component provably derives from the current graph
+        may. Re-running with a changed pagerank_iterations rebuilds only
+        pagerank + fold; the new fold manifest must carry NO edges_fp /
+        triples_snapshot, and a pre-existing staleness marker must
+        survive the run (conservative: refresh_analytics is the path that
+        re-proves freshness)."""
+        from runne_contrastive_ner_spark.plans.manifest import load_manifest
+        from runne_contrastive_ner_spark.plans.pipeline import (
+            PipelineConfig,
+            run_pipeline,
+        )
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+        from runne_contrastive_ner_spark.sources.transcripts import synthesize
+        from runne_contrastive_ner_spark.streaming.incremental import (
+            analytics_stale_reason,
+            mark_analytics_stale,
+        )
+
+        t = synthesize(spark, n_convs=4, turns_per_conv=6, long_conv_turns=0)
+        wh = str(tmp_path / "pwh")
+        run_pipeline(
+            spark, t, PipelineConfig(warehouse=wh, analytics=True), input_fp="p1"
+        )
+        io = TableIO(spark, wh)
+        mf1 = load_manifest(io.path("analytics"))
+        assert "edges_fp" in mf1.extra  # full build records the proof
+
+        mark_analytics_stale(wh, reason="simulated out-of-band merge")
+        run_pipeline(
+            spark,
+            t,
+            PipelineConfig(warehouse=wh, analytics=True, pagerank_iterations=5),
+            input_fp="p1",
+        )
+        mf2 = load_manifest(io.path("analytics"))
+        assert "edges_fp" not in mf2.extra
+        assert "triples_snapshot" not in mf2.extra
+        assert analytics_stale_reason(wh) is not None  # marker survives
