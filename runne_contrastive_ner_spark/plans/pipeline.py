@@ -133,6 +133,7 @@ def run_analytics_stages(
     edges: DataFrame | None = None,
     edges_fp: str | None = None,
     seeded_by_graph: bool = False,
+    triples_snapshot: int | None = None,
 ) -> DataFrame:
     """The analytics stage group: the four per-entity component tables are
     materialized BUCKETED on the entity id (one shuffle each, paid at
@@ -228,12 +229,14 @@ def run_analytics_stages(
         sound = seeded_by_graph or built == {"pr", "tri", "comm", "core"}
         if sound and "efp" in estate:
             fold_extra["edges_fp"] = estate["efp"]
-            # the triples SNAPSHOT VERSION this build derives from (a
-            # pointer-file read, no Spark job) — refresh tier 1 compares
-            # it to skip even the edge-list derivation when nothing merged
-            fold_extra["triples_snapshot"] = getattr(
-                runner.io, "current_version", lambda _t: None
-            )("triples")
+            # the triples SNAPSHOT VERSION this build derives from —
+            # refresh tier 1 compares it to skip even the edge-list
+            # derivation when nothing merged. MUST be the version the
+            # caller pinned BEFORE reading triples: re-reading the live
+            # pointer here would stamp a concurrent merge's version onto
+            # content derived from the older snapshot (review finding —
+            # a false tier-1 proof).
+            fold_extra["triples_snapshot"] = triples_snapshot
             fold_extra["pagerank_iterations"] = pagerank_iterations
             fold_extra["buckets"] = buckets
         return fold_analytics(pr, tri, comm, core)
@@ -394,6 +397,12 @@ def run_pipeline(
             fp_seed=fingerprint(link_fp, cfg.window_k),
             pagerank_iterations=cfg.pagerank_iterations,
             buckets=cfg.link_buckets,
+            # pinned BEFORE the analytics builds: the triples stage just
+            # ran (or skipped) in this process, so the pointer read here
+            # names the snapshot the `triples` handle actually reads
+            triples_snapshot=getattr(io, "current_version", lambda _t: None)(
+                "triples"
+            ),
         )
         # clear any staleness marker a previous incremental fold left
         # behind ONLY when the fold manifest now PROVES freshness against

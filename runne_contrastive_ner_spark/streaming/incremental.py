@@ -241,16 +241,26 @@ def incremental_kg_fold(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # a zero-delta fold (re-delivered content that is already folded: no
-    # new conversations, no canonical-id movement) provably changes
-    # NEITHER table — the entity stats merged to their previous values and
-    # no conversation's triples re-derive. Returning before the writes
+    # a provable no-op fold (re-delivered content that is already folded:
+    # no new conversations AND no canonical-id movement) changes NEITHER
+    # table — the entity stats merged to their previous values and no
+    # conversation's triples re-derive. Returning before the writes
     # avoids a full entities rewrite + an empty pruned-merge snapshot, and
     # keeps the triples version stable so the next analytics refresh takes
-    # the zero-job tier-1 path (review finding). delta_convs is already
-    # checkpointed, so the count is cheap.
+    # the zero-job tier-1 path (review finding). The changed-surface check
+    # is REQUIRED, not implied by zero delta: with a non-standard
+    # ``all_mentions`` (or a changed alias list) a canonical id can move
+    # for a surface that matches no conversation in the passed table, and
+    # the entities rewrite must then still happen. Both inputs are
+    # checkpointed/dictionary-bounded, so the counts are cheap.
     n_delta = delta_convs.count()
-    if prev_exists and n_delta == 0 and io.exists("triples"):
+    n_changed = changed.count()
+    if (
+        prev_exists
+        and n_delta == 0
+        and n_changed == 0
+        and io.exists("triples")
+    ):
         return {
             "delta_convs": 0,
             "changed_surfaces": 0,
@@ -287,7 +297,7 @@ def incremental_kg_fold(
         mark_analytics_stale(io.warehouse, reason="incremental_kg_fold merge")
     return {
         "delta_convs": n_delta,
-        "changed_surfaces": changed.count(),
+        "changed_surfaces": n_changed,
         "incremental": prev_exists,
     }
 
@@ -443,6 +453,8 @@ def refresh_analytics(
         and io.exists("analytics")
     ):
         fold_mf.extra["triples_snapshot"] = cur_triples_v
+        fold_mf.extra["pagerank_iterations"] = pagerank_iterations
+        fold_mf.extra["buckets"] = buckets
         write_manifest(io.path("analytics"), fold_mf)
         _clear_marker()
         return {
@@ -461,6 +473,10 @@ def refresh_analytics(
         edges=edges,
         edges_fp=efp,
         seeded_by_graph=True,
+        # pinned BEFORE the builds: stamping the live pointer at fold time
+        # would certify content derived from an older snapshot against a
+        # concurrent merge's version (review finding)
+        triples_snapshot=cur_triples_v,
     )
     _clear_marker()
     rebuilt = [
@@ -468,6 +484,25 @@ def refresh_analytics(
         for s in stage_names
         if getattr(io, "current_version", lambda _t: None)(s) != before[s]
     ]
+    if not rebuilt:
+        # tier-3 all-skip: every stage matched its graph-seeded manifest,
+        # which proves the tables derive from THIS edge fingerprint — but
+        # runner.run leaves extras untouched on skip, so a manifest
+        # missing triples_snapshot/params (pre-upgrade refresh build)
+        # would force the full edge derivation on every future refresh.
+        # Backfill the proof once so the next refresh takes tier 1
+        # (review finding).
+        mf = load_manifest(io.path("analytics"))
+        if mf is not None:
+            mf.extra.update(
+                {
+                    "edges_fp": efp,
+                    "triples_snapshot": cur_triples_v,
+                    "pagerank_iterations": pagerank_iterations,
+                    "buckets": buckets,
+                }
+            )
+            write_manifest(io.path("analytics"), mf)
     return {
         "refreshed": True,
         "edges_fp": efp,
