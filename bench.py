@@ -106,11 +106,12 @@ def _host_id() -> str:
     return f"{platform.node()}|cpus={os.cpu_count()}"
 
 
-def _canary_suspect(f32_reading: float) -> bool:
+def _canary_suspect(f32_reading: float, phase: str = "pre") -> bool:
     """Noise judgement against THIS host's committed rolling best (ADVICE
     r6: an absolute threshold calibrated to one host class permanently
-    flags any slower machine). Appends the raw reading + host identity to
-    the history, so the judgement is reproducible from the artifact set."""
+    flags any slower machine). Appends the raw reading + host identity +
+    ``phase`` (pre/post — the session is BRACKETED, VERDICT r7) to the
+    history, so the judgement is reproducible from the artifact set."""
     host = _host_id()
     best = 0.0
     try:
@@ -130,7 +131,13 @@ def _canary_suspect(f32_reading: float) -> bool:
         os.makedirs(os.path.dirname(CANARY_HISTORY), exist_ok=True)
         with open(CANARY_HISTORY, "a") as f:
             json.dump(
-                {"host": host, "f32": f32_reading, "ts": time.time()}, f
+                {
+                    "host": host,
+                    "f32": f32_reading,
+                    "ts": time.time(),
+                    "phase": phase,
+                },
+                f,
             )
             f.write("\n")
     except OSError:
@@ -138,6 +145,19 @@ def _canary_suspect(f32_reading: float) -> bool:
     if best <= 0.0:
         return bool(f32_reading < CANARY_BOOTSTRAP_FLOOR)
     return bool(f32_reading < CANARY_SUSPECT_FRACTION * max(best, f32_reading))
+
+
+def _latest_quiet_record() -> str | None:
+    """Repo-relative path of the newest committed canary-quiet bench
+    record (BENCH/quiet_r*.json) — the artifact a reader should treat as
+    the round's authoritative numbers when the driver-run artifact is
+    noise-flagged (VERDICT r7: two quasi-duplicate records told different
+    headline stories with nothing in the artifact adjudicating)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    recs = sorted(glob.glob(os.path.join(here, "BENCH", "quiet_r*.json")))
+    return os.path.relpath(recs[-1], here) if recs else None
 
 
 def main():
@@ -296,6 +316,15 @@ def main():
     shutil.rmtree(sdir, ignore_errors=True)
     shutil.rmtree(swh, ignore_errors=True)
 
+    # canary BRACKETING (VERDICT r7): the pre-session probe alone cannot
+    # see a noise burst that starts after it — the r7 driver artifact was
+    # probe-quiet yet carried >2x rep spreads. A second probe after the
+    # last measured rep closes the window: the artifact is suspect if
+    # EITHER side of the bracket is below threshold.
+    scorer_windows_sec_f32_post = scorer_kernel_bench(dtype="float32")
+    noise_pre = _canary_suspect(scorer_windows_sec_f32, phase="pre")
+    noise_post = _canary_suspect(scorer_windows_sec_f32_post, phase="post")
+
     out = {
         "metric": "headline_total_sec",
         "value": round(total, 3),
@@ -315,17 +344,26 @@ def main():
         "query_reps_sec": reps_raw,
         "scorer_batch_windows_per_sec": scorer_windows_sec,
         "scorer_batch_windows_per_sec_f32": scorer_windows_sec_f32,
-        # load canary: the pre-session pure-numpy kernel probe doubles as a
-        # host-noise detector — hypervisor-neighbor periods have measured
-        # 6-10x slowdowns with ZERO local load. The threshold is NOT a
-        # hard-coded absolute (ADVICE r6: that misreads an ordinarily
-        # slower host as permanently noisy): it is a fraction of the best
-        # f32 reading recorded for THIS host in the committed canary
-        # history (BENCH/canary_history.jsonl; the raw reading + host
-        # identity are appended every run). When this flag is true, every
-        # wall in this artifact is noise-suspect and should be re-measured
-        # before being compared across rounds.
-        "host_noise_suspect": _canary_suspect(scorer_windows_sec_f32),
+        "scorer_batch_windows_per_sec_f32_post": scorer_windows_sec_f32_post,
+        # load canary: the pure-numpy kernel probe doubles as a host-noise
+        # detector — hypervisor-neighbor periods have measured 6-10x
+        # slowdowns with ZERO local load. The session is BRACKETED
+        # (VERDICT r7): one probe before the first measured rep, one after
+        # the last; the artifact is suspect if either side is below
+        # threshold. The threshold is NOT a hard-coded absolute (ADVICE
+        # r6: that misreads an ordinarily slower host as permanently
+        # noisy): it is a fraction of the best f32 reading recorded for
+        # THIS host in the committed canary history
+        # (BENCH/canary_history.jsonl; raw readings + host identity +
+        # bracket phase are appended every run). When this flag is true,
+        # every wall in this artifact is noise-suspect: read quiet_record
+        # instead and re-measure before comparing across rounds.
+        "host_noise_suspect": noise_pre or noise_post,
+        "host_noise_suspect_pre": noise_pre,
+        "host_noise_suspect_post": noise_post,
+        # the committed canary-quiet record that is authoritative for
+        # cross-round comparison whenever this artifact is noise-flagged
+        "quiet_record": _latest_quiet_record(),
         "stream_cold_sec": round(stream_cold, 3),
         "stream_tail_sec": round(stream_tail, 3),
         "stream_noop_sec": round(stream_noop, 3),

@@ -138,6 +138,13 @@ def run_streaming(
         )
         out["analytics_rebuilt"] = a_stats.get("rebuilt", [])
         out["analytics_rows"] = a_stats.get("rows")
+        # component-scoped evidence: when the rebuild reused unchanged
+        # connected components, say so (and how much work it avoided)
+        out["analytics_scoped"] = a_stats.get("scoped", False)
+        for k in ("components_total", "components_unchanged",
+                  "sub_edges", "edges_total"):
+            if k in a_stats:
+                out[f"analytics_{k}"] = a_stats[k]
     return out
 
 

@@ -134,6 +134,7 @@ def run_analytics_stages(
     edges_fp: str | None = None,
     seeded_by_graph: bool = False,
     triples_snapshot: int | None = None,
+    component_builds: dict | None = None,
 ) -> DataFrame:
     """The analytics stage group: the four per-entity component tables are
     materialized BUCKETED on the entity id (one shuffle each, paid at
@@ -154,7 +155,19 @@ def run_analytics_stages(
     run whose config fingerprints let stale components skip after an
     out-of-band incremental merge must NOT mint a freshness proof for
     them (review finding). Pass a pre-checkpointed ``edges`` (and its
-    ``edges_fp``, if already computed) to avoid re-deriving them."""
+    ``edges_fp``, if already computed) to avoid re-deriving them.
+
+    ``component_builds`` (incremental refresh only): replacement build
+    callables keyed ``'tri'``/``'comm'``/``'core'`` — the component-scoped
+    refresh path passes merged builds (reused unchanged-component rows +
+    recompute over changed components only) whose CONTENT equals the full
+    operator over the whole graph (property-tested). PageRank is never
+    overridden: its teleport term uses the global node count, so it is
+    only component-local when the node set is provably unchanged — this
+    engine recomputes it globally instead of shipping that cliff. Only
+    meaningful with graph-seeded fingerprints (the override is content-
+    equal for THIS graph, so a skip on a matching graph-seeded
+    fingerprint stays sound)."""
     from ..operators.graph import (
         cooccurrence_edges,
         k_core_numbers,
@@ -192,10 +205,19 @@ def run_analytics_stages(
         return build
 
     a_spec = {"cols": ["src"], "n": buckets, "sort": ["src"]}
-    pr_fp = fingerprint("analytics-pr", fp_seed, pagerank_iterations)
-    tri_fp = fingerprint("analytics-tri", fp_seed)
-    comm_fp = fingerprint("analytics-comm", fp_seed, 4)
-    core_fp = fingerprint("analytics-core", fp_seed)
+    # ``buckets`` joins every COMPONENT fingerprint, not just the fold's
+    # (ADVICE r7): the component tables are physically bucketed at write,
+    # so a bucket-count change must rebuild them with the new layout —
+    # previously they skipped on a matching fingerprint while the tier-2/3
+    # refresh stamped the new value into the manifest, silently degrading
+    # the exchange-free fold guarantee. Cost of the fix: warehouses built
+    # before this release recompute the analytics group once on upgrade
+    # (safe — content is re-derived, never wrong).
+    pr_fp = fingerprint("analytics-pr", fp_seed, pagerank_iterations, buckets)
+    tri_fp = fingerprint("analytics-tri", fp_seed, buckets)
+    comm_fp = fingerprint("analytics-comm", fp_seed, 4, buckets)
+    core_fp = fingerprint("analytics-core", fp_seed, buckets)
+    overrides = component_builds or {}
     pr = runner.run(
         "analytics_pr",
         pr_fp,
@@ -206,21 +228,29 @@ def run_analytics_stages(
     tri = runner.run(
         "analytics_tri",
         tri_fp,
-        _component("tri", lambda: triangle_counts(_edges_g())),
+        _component(
+            "tri", overrides.get("tri") or (lambda: triangle_counts(_edges_g()))
+        ),
         lineage_key="src",
         bucket_spec=a_spec,
     )
     comm = runner.run(
         "analytics_comm",
         comm_fp,
-        _component("comm", lambda: label_propagation(_edges_g(), iterations=4)),
+        _component(
+            "comm",
+            overrides.get("comm")
+            or (lambda: label_propagation(_edges_g(), iterations=4)),
+        ),
         lineage_key="src",
         bucket_spec=a_spec,
     )
     core = runner.run(
         "analytics_core",
         core_fp,
-        _component("core", lambda: k_core_numbers(_edges_g())),
+        _component(
+            "core", overrides.get("core") or (lambda: k_core_numbers(_edges_g()))
+        ),
         lineage_key="src",
         bucket_spec=a_spec,
     )

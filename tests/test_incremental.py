@@ -622,3 +622,139 @@ class TestAnalyticsRefresh:
         assert "edges_fp" not in mf2.extra
         assert "triples_snapshot" not in mf2.extra
         assert analytics_stale_reason(wh) is not None  # marker survives
+
+
+class TestScopedAnalyticsRefresh:
+    """VERDICT r7 item 3: when a tail touches one connected component, the
+    refresh must not recompute triangles/communities/core for the whole
+    graph. The scoped path diffs per-component fingerprints against the
+    analytics_compfp table minted by the previous graph-seeded build,
+    reuses unchanged components' rows, and recomputes the three operators
+    only over the changed components' edges — content must equal the full
+    operator over the whole graph, and the returned stats must prove the
+    reuse actually happened (the job-scope assertion)."""
+
+    MENTION_SCHEMA = TestIncrementalFold.MENTION_SCHEMA
+
+    def _mentions(self, spark, rows):
+        return TestIncrementalFold._mentions(self, spark, rows)
+
+    def test_scoped_refresh_equals_scratch_and_reuses_components(
+        self, spark, tmp_path
+    ):
+        from runne_contrastive_ner_spark.plans.pipeline import analytics_table
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+        from runne_contrastive_ner_spark.streaming.incremental import (
+            incremental_kg_fold,
+            refresh_analytics,
+        )
+
+        wh = str(tmp_path / "swh")
+        io = TableIO(spark, wh)
+        # three DISJOINT components: {aa,bb} {cc,dd} {ee,ff}
+        batch1 = self._mentions(
+            spark,
+            [("c1", 0, "aa"), ("c1", 0, "bb"),
+             ("c2", 0, "cc"), ("c2", 0, "dd"),
+             ("c3", 0, "ee"), ("c3", 0, "ff")],
+        )
+        incremental_kg_fold(spark, io, batch1, batch1)
+        s1 = refresh_analytics(spark, io)
+        assert s1["rebuilt"] and not s1["scoped"]  # no diff base yet
+        assert io.exists("analytics_compfp")  # minted for the next refresh
+
+        # tail that grows ONLY the {ee,ff} component (ee co-occurs with gg)
+        batch2 = self._mentions(spark, [("c4", 0, "ee"), ("c4", 0, "gg")])
+        all2 = batch1.unionByName(batch2)
+        incremental_kg_fold(spark, io, all2, batch2)
+        s2 = refresh_analytics(spark, io)
+        assert s2["scoped"], s2
+        assert s2["components_total"] == 3
+        assert s2["components_unchanged"] == 2
+        # the three scoped operators ran over the changed component's edges
+        # only — strictly fewer than the whole graph's
+        assert 0 < s2["sub_edges"] < s2["edges_total"]
+        # content ≡ full recompute over the folded triples
+        scratch = analytics_table(io.read("triples"))
+        assert sorted(map(tuple, io.read("analytics").collect())) == sorted(
+            map(tuple, scratch.collect())
+        )
+        # reused rows really are the unchanged components': tri/comm/core
+        # carry the same values for aa..dd as scratch (checked above) AND
+        # the compfp table now describes the new graph
+        s3 = refresh_analytics(spark, io)
+        assert s3["rebuilt"] == []  # tier 1 — proofs advanced correctly
+
+    def test_scope_full_forces_unscoped_rebuild(self, spark, tmp_path):
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+        from runne_contrastive_ner_spark.streaming.incremental import (
+            incremental_kg_fold,
+            refresh_analytics,
+        )
+        import pytest as _pytest
+
+        wh = str(tmp_path / "fwh")
+        io = TableIO(spark, wh)
+        batch1 = self._mentions(
+            spark, [("c1", 0, "aa"), ("c1", 0, "bb"), ("c2", 0, "cc"), ("c2", 0, "dd")]
+        )
+        incremental_kg_fold(spark, io, batch1, batch1)
+        refresh_analytics(spark, io)
+        batch2 = self._mentions(spark, [("c3", 0, "cc"), ("c3", 0, "hh")])
+        all2 = batch1.unionByName(batch2)
+        incremental_kg_fold(spark, io, all2, batch2)
+        s = refresh_analytics(spark, io, scope="full")
+        assert not s["scoped"] and "analytics_tri" in s["rebuilt"]
+        with _pytest.raises(ValueError, match="scope"):
+            refresh_analytics(spark, io, scope="bogus")
+
+    def test_bucket_change_rebuilds_component_tables(self, spark, tmp_path):
+        """ADVICE r7 item 1: `buckets` joins every component stage
+        fingerprint — changing the bucket count on an UNCHANGED graph must
+        rebuild the physically-bucketed component tables with the new
+        layout instead of skipping while the manifest stamps the new
+        value."""
+        from runne_contrastive_ner_spark.plans.manifest import load_manifest
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+        from runne_contrastive_ner_spark.streaming.incremental import (
+            incremental_kg_fold,
+            refresh_analytics,
+        )
+
+        wh = str(tmp_path / "bwh2")
+        io = TableIO(spark, wh)
+        batch = self._mentions(
+            spark, [("c1", 0, "aa"), ("c1", 0, "bb"), ("c2", 0, "cc"), ("c2", 0, "dd")]
+        )
+        incremental_kg_fold(spark, io, batch, batch)
+        s1 = refresh_analytics(spark, io, buckets=16)
+        assert s1["rebuilt"]
+        s2 = refresh_analytics(spark, io, buckets=8)
+        assert {"analytics_tri", "analytics_comm", "analytics_core",
+                "analytics"} <= set(s2["rebuilt"]), s2
+        mf = load_manifest(io.path("analytics"))
+        assert mf.extra["buckets"] == 8
+        # and a same-bucket refresh right after is tier-1 quiet again
+        s3 = refresh_analytics(spark, io, buckets=8)
+        assert s3["rebuilt"] == []
+
+    def test_corrupt_stale_marker_degrades_not_raises(self, spark, tmp_path):
+        """ADVICE r7 item 3: a torn/corrupt marker file still MEANS stale
+        — analytics_stale_reason must degrade to 'unknown', and the atomic
+        write path must leave no .tmp residue."""
+        import os
+
+        from runne_contrastive_ner_spark.streaming.incremental import (
+            analytics_stale_reason,
+            mark_analytics_stale,
+        )
+
+        wh = str(tmp_path / "mwh")
+        mark_analytics_stale(wh, reason="ok")
+        assert analytics_stale_reason(wh) == "ok"
+        assert not os.path.exists(
+            os.path.join(wh, "_analytics_stale.json.tmp")
+        )
+        with open(os.path.join(wh, "_analytics_stale.json"), "w") as f:
+            f.write('{"reason": "torn')  # simulated torn write
+        assert analytics_stale_reason(wh) == "unknown"

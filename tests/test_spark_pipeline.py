@@ -1148,8 +1148,8 @@ class TestRdfAndViews:
         """Files we did not write may use the full grammar: ECHAR \\b \\f
         \\' and arbitrary BMP \\uXXXX UCHARs (lowercase hex included, and
         codepoints far outside the C0 range our own writer emits). The
-        scanner decodes them all; an astral \\U00XXXXXX escape passes
-        through as text rather than corrupting."""
+        scanner decodes them all — including astral \\U00XXXXXX escapes
+        via surrogate-pair decode (VERDICT r7 item 5)."""
         from runne_contrastive_ner_spark.sources.rdf import read_ntriples
 
         d = tmp_path / "foreign"
@@ -1165,7 +1165,44 @@ class TestRdfAndViews:
         }
         assert got == {
             ("a", "A=A bs=\b ff=\f q=' lo=\x1f sun=日"),
-            ("b", "astral=\\U0001F600"),
+            ("b", "astral=😀"),
+        }
+
+    def test_ntriples_astral_uchar_edge_cases(self, spark, tmp_path):
+        """\\U00XXXXXX UCHAR decode edge cases (VERDICT r7 item 5): BMP
+        codepoints written in 8-hex form, mixed \\u and \\U in one
+        literal, the max codepoint, grammar-INVALID codepoints (beyond
+        U+10FFFF, the surrogate gap) keeping their escape text raw, a
+        truncated hex run staying text, and \\U0000005C decoding to a
+        plain backslash without being re-read as an escape."""
+        from runne_contrastive_ner_spark.sources.rdf import read_ntriples
+
+        d = tmp_path / "astral"
+        d.mkdir()
+        (d / "part-00000.txt").write_text(
+            '<urn:kg:ent:bmp> <urn:kg:pred:p> "sun=\\U000065E5" .\n'
+            '<urn:kg:ent:mix> <urn:kg:pred:p> "\\u0041\\U0001F680\\u0042" .\n'
+            '<urn:kg:ent:max> <urn:kg:pred:p> "\\U0010FFFF" .\n'
+            '<urn:kg:ent:over> <urn:kg:pred:p> "\\U00110000" .\n'
+            '<urn:kg:ent:surr> <urn:kg:pred:p> "\\U0000D800" .\n'
+            '<urn:kg:ent:trunc> <urn:kg:pred:p> "\\U0001F60" .\n'
+            '<urn:kg:ent:bslash> <urn:kg:pred:p> "\\U0000005Cn" .\n'
+            '<urn:kg:ent:multi> <urn:kg:pred:p> '
+            '"\\U0001F600x\\U0001F601" .\n'
+        )
+        got = {
+            (r["subj"], r["obj"])
+            for r in read_ntriples(spark, str(d)).collect()
+        }
+        assert got == {
+            ("bmp", "sun=日"),
+            ("mix", "A\U0001f680B"),
+            ("max", "\U0010ffff"),
+            ("over", "\\U00110000"),
+            ("surr", "\\U0000D800"),
+            ("trunc", "\\U0001F60"),
+            ("bslash", "\\n"[0] + "n"),  # backslash char + 'n', NOT newline
+            ("multi", "😀x😁"),
         }
 
     def test_ntriples_foreign_file_tolerance(self, spark, tmp_path):
@@ -1247,6 +1284,59 @@ class TestRdfAndViews:
         assert any(line.endswith("<urn:kg:pred:p>") for line in rej)
         assert read_ntriples(spark, str(d)).count() == report["parsed"]
 
+    def test_ntriples_scan_cli_surfaces_report(
+        self, spark, tmp_path, monkeypatch, capsys
+    ):
+        """VERDICT r7 item 7: the scan accounting is reachable from a JOB
+        surface — tools/ntriples_scan.py prints the one-line JSON report
+        (with a bounded reject sample), writes the full reject set when
+        asked, and exits non-zero when anything was rejected (an ingest
+        gate)."""
+        import json as _json
+        import sys as _sys
+
+        _sys.path.insert(0, "tools")
+        import ntriples_scan
+
+        import runne_contrastive_ner_spark.session as sess_mod
+
+        class _NoStop:
+            def __init__(self, s):
+                self._s = s
+
+            def __getattr__(self, name):
+                return getattr(self._s, name)
+
+            def stop(self):  # keep the shared test session alive
+                pass
+
+        monkeypatch.setattr(
+            sess_mod, "build_session", lambda **_kw: _NoStop(spark)
+        )
+        d = tmp_path / "cli_rdf"
+        d.mkdir()
+        (d / "part-00000.txt").write_text(
+            "<urn:kg:ent:a> <urn:kg:pred:p> <urn:kg:ent:b> .\n"
+            "broken line\n"
+        )
+        rej_out = str(tmp_path / "cli_rejects")
+        rc = ntriples_scan.main([str(d), "--rejects-out", rej_out])
+        assert rc == 3
+        report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert report["parsed"] == 1 and report["rejected"] == 1
+        assert report["reject_sample"] == ["broken line"]
+        assert spark.read.text(rej_out).count() == 1
+        # clean file → exit 0, no sample key
+        d2 = tmp_path / "cli_rdf_ok"
+        d2.mkdir()
+        (d2 / "part-00000.txt").write_text(
+            "<urn:kg:ent:a> <urn:kg:pred:p> <urn:kg:ent:b> .\n"
+        )
+        rc = ntriples_scan.main([str(d2)])
+        assert rc == 0
+        report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert report["rejected"] == 0 and "reject_sample" not in report
+
     def test_ntriples_bnode_kind_not_writable(self, spark, tmp_path):
         """'bnode' is a read-only kind: re-exporting a foreign scan through
         write_ntriples fails with the actionable unsupported-kind error
@@ -1277,7 +1367,8 @@ class TestRdfAndViews:
         alphabet = (
             ["\\", '"', "\n", "\r", "\t", "\x00", "\x01", "\x07", "\x1f"]
             + list("abz 09é日")
-            + ["\\u0000", "\\n", "\\\\", "u00"]
+            + ["😀", "\U0010ffff"]  # astral chars write raw, must survive
+            + ["\\u0000", "\\n", "\\\\", "u00", "\\U0001F600", "U0001"]
         )
         rows = [
             (

@@ -237,6 +237,31 @@ def analytics_fold_plan(spark, sf_dir: str) -> tuple[dict, str]:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def compfp_probe_plan(spark, sf_dir: str) -> tuple[dict, str]:
+    """The component-scoped analytics refresh's diff probe (VERDICT r7
+    item 3): per-connected-component fingerprints = one membership
+    equi-join + one groupBy over the checkpointed edge list. This is the
+    price paid to AVOID recomputing triangles/communities/core over
+    unchanged components — it must stay a flat join+agg shape (no
+    iterative stage, no cartesian) or the scoped path would cost what it
+    saves."""
+    from runne_contrastive_ner_spark.operators.components import (
+        connected_components,
+    )
+    from runne_contrastive_ner_spark.operators.graph import cooccurrence_edges
+    from runne_contrastive_ner_spark.streaming.incremental import (
+        component_fingerprints,
+    )
+
+    triples = entry_mod.queries()["kg_triples"](spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    edges = cooccurrence_edges(triples).localCheckpoint(eager=True)
+    membership = connected_components(edges).localCheckpoint(eager=True)
+    plan = plan_of(component_fingerprints(edges, membership))
+    return summarize(plan), plan
+
+
 def ntriples_plans(spark, sf_dir: str) -> list[tuple[str, dict, str]]:
     """N-Triples export/scan (sources/rdf.py): the write's line set must be
     one distinct Exchange + a codegen'd projection; the scan must be ONE
@@ -288,6 +313,10 @@ SPECIAL_EXCHANGE_BOUNDS = {
     # single-pass conditional projection over one text scan (rdf.py
     # read_ntriples): 0 exchanges measured; 1 allows an AQE artifact
     "ntriples_read": 1,
+    # scoped-refresh diff probe (component_fingerprints over checkpointed
+    # edges + membership): one join + one agg — 3 exchanges measured with
+    # SMJ sides + final agg; 4 allows an AQE artifact
+    "analytics_compfp_probe": 4,
 }
 
 
@@ -321,7 +350,8 @@ def main():
     # r5-shape audits (VERDICT r5 item 3): k-core peel round, analytics
     # 4-way fold, N-Triples write/read — same cartesian + exchange tripwires
     specials = [("kcore_peel_round",) + kcore_round_plan(spark),
-                ("analytics_stage_fold",) + analytics_fold_plan(spark, sf_dir)]
+                ("analytics_stage_fold",) + analytics_fold_plan(spark, sf_dir),
+                ("analytics_compfp_probe",) + compfp_probe_plan(spark, sf_dir)]
     specials += ntriples_plans(spark, sf_dir)
     for name, s, plan in specials:
         sections.append((name, s, plan))
