@@ -154,9 +154,18 @@ def _latest_quiet_record() -> str | None:
     noise-flagged (VERDICT r7: two quasi-duplicate records told different
     headline stories with nothing in the artifact adjudicating)."""
     import glob
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    recs = sorted(glob.glob(os.path.join(here, "BENCH", "quiet_r*.json")))
+
+    def round_no(p: str) -> int:
+        # numeric sort: lexicographic would put quiet_r100 before quiet_r99
+        m = re.search(r"quiet_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    recs = sorted(
+        glob.glob(os.path.join(here, "BENCH", "quiet_r*.json")), key=round_no
+    )
     return os.path.relpath(recs[-1], here) if recs else None
 
 

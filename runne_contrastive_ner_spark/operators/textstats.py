@@ -616,3 +616,53 @@ def token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("source").agg(
         F.max("n").cast("bigint").alias("n_docs_total"), *picks
     )
+
+
+DECONTAM_NGRAM = 4
+DECONTAM_BENCH_MOD = 97
+
+
+def decontamination(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = DECONTAM_NGRAM,
+    benchmark_mod: int = DECONTAM_BENCH_MOD,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word ``n``-gram with a held-out evaluation set — the standard
+    train/test-overlap hygiene step of large-LM corpus builds (GPT-3
+    appendix C / PaLM-style n-gram overlap; production sizes use 8-13
+    grams, the synthetic corpus's templated texts overlap at 4). The
+    benchmark here is the deterministic stand-in ``doc_id %
+    benchmark_mod == 0`` — in production it is a small external table and
+    the plan shape is identical.
+
+    Output: one row per CONTAMINATED non-benchmark document —
+    ``(doc_id, n_shared_ngrams)`` with the count of distinct shared
+    n-grams — not a verdict column on the full corpus: at 100 TB the
+    contaminated set is the small side, and emitting only it keeps the
+    result broadcastable into the downstream anti-join that actually
+    removes the documents.
+
+    100 TB shape: the benchmark n-gram set is tiny (eval sets are MBs) →
+    ``broadcast`` hash join; the corpus side is a narrow explode of
+    per-document distinct n-grams (no pre-join shuffle of the corpus);
+    the only Exchange is the groupBy over the MATCHED rows, which is
+    contamination-sized, not corpus-sized."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), _toks().alias("toks")
+    )
+    grams = F.array_distinct(_word_ngrams("toks", n))
+    bench = (
+        docs.filter(F.col("doc_id") % benchmark_mod == 0)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") % benchmark_mod != 0).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams"))
+    )

@@ -559,6 +559,22 @@ TEXTSTATS: dict[str, str] = {
                      + 0.3 * (1 - n_stop / greatest(n_toks, 1)), 6)::DOUBLE AS quality
         FROM s
     """,
+    "ts_decontamination": """
+        WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          list_filter(string_split(text, ' '), x -> x != '') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i+3], ' '))) AS grams
+              FROM t),
+        bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+                  WHERE doc_id % 97 = 0),
+        corp AS (SELECT doc_id, unnest(grams) AS gram FROM g
+                 WHERE doc_id % 97 != 0)
+        SELECT doc_id, count(*)::BIGINT AS n_shared_ngrams
+        FROM corp JOIN bench USING (gram)
+        GROUP BY doc_id
+    """,
     "ts_token_stats_by_source": """
         SELECT source, count(*)::BIGINT AS total_tokens,
                count(DISTINCT tok)::BIGINT AS distinct_tokens,

@@ -109,7 +109,7 @@ def analytics_table(triples: DataFrame, pagerank_iterations: int = 3) -> DataFra
     return fold_analytics(
         pagerank(edges_g, iterations=pagerank_iterations),
         triangle_counts(edges_g),
-        label_propagation(edges_g, iterations=4),
+        label_propagation(edges_g, iterations=ANALYTICS_LP_ITERATIONS),
         k_core_numbers(edges_g),
     )
 
@@ -122,6 +122,14 @@ class PipelineResult:
     triples: DataFrame
     metrics: dict
     analytics: DataFrame | None = None
+
+
+# label-propagation rounds for the analytics_comm component — ONE constant
+# shared by the batch build, its fingerprint, AND the scoped refresh's
+# changed-component recompute (review finding: an implicit reliance on the
+# operator's default could let the two drift, silently mixing iteration
+# counts inside one certified table)
+ANALYTICS_LP_ITERATIONS = 4
 
 
 def run_analytics_stages(
@@ -215,7 +223,7 @@ def run_analytics_stages(
     # (safe — content is re-derived, never wrong).
     pr_fp = fingerprint("analytics-pr", fp_seed, pagerank_iterations, buckets)
     tri_fp = fingerprint("analytics-tri", fp_seed, buckets)
-    comm_fp = fingerprint("analytics-comm", fp_seed, 4, buckets)
+    comm_fp = fingerprint("analytics-comm", fp_seed, ANALYTICS_LP_ITERATIONS, buckets)
     core_fp = fingerprint("analytics-core", fp_seed, buckets)
     overrides = component_builds or {}
     pr = runner.run(
@@ -240,7 +248,11 @@ def run_analytics_stages(
         _component(
             "comm",
             overrides.get("comm")
-            or (lambda: label_propagation(_edges_g(), iterations=4)),
+            or (
+                lambda: label_propagation(
+                    _edges_g(), iterations=ANALYTICS_LP_ITERATIONS
+                )
+            ),
         ),
         lineage_key="src",
         bucket_spec=a_spec,
@@ -269,6 +281,18 @@ def run_analytics_stages(
             fold_extra["triples_snapshot"] = triples_snapshot
             fold_extra["pagerank_iterations"] = pagerank_iterations
             fold_extra["buckets"] = buckets
+            # the component manifest fingerprints this fold actually folded:
+            # the scoped refresh refuses to REUSE a component table whose
+            # current manifest no longer matches (review finding: a crashed
+            # partial batch rebuild can leave one component holding another
+            # graph's content while the fold manifest still vouches for the
+            # old proof)
+            fold_extra["component_fps"] = {
+                "analytics_pr": pr_fp,
+                "analytics_tri": tri_fp,
+                "analytics_comm": comm_fp,
+                "analytics_core": core_fp,
+            }
         return fold_analytics(pr, tri, comm, core)
 
     return runner.run(

@@ -79,19 +79,24 @@ def _escape_literal(col: Column) -> Column:
     return F.when(out.rlike(_C0_CLASS), c0).otherwise(out)
 
 
-_UCHAR_PAT = r"\\u([0-9A-Fa-f]{4})"
-_UCHAR8_PAT = r"\\U([0-9A-Fa-f]{8})"
+# ONE pattern for BOTH UCHAR forms, decoded in ONE split/zip pass: a
+# staged two-pass decode (\U first, then \u) can MINT a backslash
+# (\U0000005C) that the later pass misreads as starting a new escape —
+# "\U0000005Cu0041" means backslash + literal 'u0041', not 'A' (review
+# finding, confirmed by repro). A single simultaneous pass scans only the
+# original text, so no decoded character is ever re-read as an escape.
+_UCHAR_PAT = r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8})"
 
 
-def _u8_char(c: Column) -> Column:
-    """One captured 8-hex-digit ``\\U`` UCHAR → its character, all
-    JVM-side: the codepoint is mapped to its UTF-16BE form — the raw hex
-    quad inside the BMP, the computed surrogate pair above it — then
-    unhex + UTF-16BE decode (same machinery the ``\\uXXXX`` path uses).
-    Tolerance: a codepoint beyond U+10FFFF or inside the surrogate gap
-    (both grammar-invalid) keeps its escape text raw rather than decoding
-    to garbage — the tolerant-scan contract, per term."""
-    cp = F.conv(c, 16, 10).cast("long")
+def _u8_char(hex8: Column) -> Column:
+    """8 hex digits of a ``\\U`` UCHAR → its character, all JVM-side: the
+    codepoint is mapped to its UTF-16BE form — the raw hex quad inside
+    the BMP, the computed surrogate pair above it — then unhex + UTF-16BE
+    decode (same machinery the ``\\uXXXX`` path uses). Tolerance: a
+    codepoint beyond U+10FFFF or inside the surrogate gap (both
+    grammar-invalid) keeps its escape text raw rather than decoding to
+    garbage — the tolerant-scan contract, per term."""
+    cp = F.conv(hex8, 16, 10).cast("long")
     bmp = F.lpad(F.hex(cp), 4, "0")
     cpp = cp - F.lit(0x10000)
     pair = F.concat(
@@ -100,10 +105,22 @@ def _u8_char(c: Column) -> Column:
     )
     valid = (cp <= 0x10FFFF) & ~((cp >= 0xD800) & (cp <= 0xDFFF))
     return (
-        F.when(c == "", F.lit(""))  # zip_with's trailing pad element
-        .when(valid & (cp >= 0x10000), F.decode(F.unhex(pair), "UTF-16BE"))
+        F.when(valid & (cp >= 0x10000), F.decode(F.unhex(pair), "UTF-16BE"))
         .when(valid, F.decode(F.unhex(bmp), "UTF-16BE"))
-        .otherwise(F.concat(F.lit("\\U"), c))
+        .otherwise(F.concat(F.lit("\\U"), hex8))
+    )
+
+
+def _uchar_char(c: Column) -> Column:
+    """One captured UCHAR payload — ``uXXXX`` or ``UXXXXXXXX`` (or the
+    empty zip_with pad) — to its character."""
+    return (
+        F.when(c == "", F.lit(""))
+        .when(
+            c.startswith("u"),
+            F.decode(F.unhex(c.substr(F.lit(2), F.lit(4))), "UTF-16BE"),
+        )
+        .otherwise(_u8_char(c.substr(F.lit(2), F.lit(8))))
     )
 
 
@@ -113,18 +130,17 @@ def _dec_segment(seg: Column) -> Column:
     replacement is unambiguous. Handles every N-Triples ECHAR (tbnrf"')
     plus ANY BMP ``\\uXXXX`` UCHAR, not just the C0 range the writer
     emits: the segment splits on the UCHAR pattern, each captured hex
-    quad becomes its raw character via unhex + UTF-16BE decode (all
+    payload becomes its raw character via unhex + UTF-16BE decode (all
     JVM-side — a literal NUL in a py4j string would be protocol-hostile),
     and parts interleave back. Astral ``\\U00XXXXXX`` escapes (8 hex,
-    never writer-emitted) decode the same way via a computed surrogate
-    pair (``_u8_char``; VERDICT r7 item 5 — a foreign file with
-    emoji-bearing literals previously kept the escape text); codepoints
-    beyond U+10FFFF or in the surrogate gap stay raw. One substring test
-    each guards the two UCHAR machineries — escape-free segments pay only
-    the short decodes. ``\\U`` decodes BEFORE ``\\u``: the patterns are
-    case-disjoint, and neither decode can mint a new backslash the other
-    would misread (``\\u005C``/``\\U0000005C`` produce a literal
-    backslash only after their own stage has consumed the escape)."""
+    never writer-emitted) decode via a computed surrogate pair
+    (``_u8_char``; VERDICT r7 item 5 — a foreign file with emoji-bearing
+    literals previously kept the escape text); codepoints beyond U+10FFFF
+    or in the surrogate gap stay raw. BOTH UCHAR forms decode in the SAME
+    split/zip pass over the original text (see ``_UCHAR_PAT``): a decoded
+    backslash (``\\u005C`` / ``\\U0000005C``) can therefore never be
+    re-read as starting another escape. One rlike guards the UCHAR
+    machinery — escape-free segments pay only the short decodes."""
     out = F.regexp_replace(seg, r"\\t", "\t")
     out = F.regexp_replace(out, r"\\r", "\r")
     out = F.regexp_replace(out, r"\\n", "\n")
@@ -132,28 +148,16 @@ def _dec_segment(seg: Column) -> Column:
     out = F.regexp_replace(out, r"\\f", "\f")
     out = F.regexp_replace(out, r"\\'", "'")
     out = F.regexp_replace(out, r'\\"', '"')
-    parts8 = F.split(out, _UCHAR8_PAT)
-    codes8 = F.concat(
-        F.regexp_extract_all(out, F.lit(_UCHAR8_PAT), F.lit(1)),
-        F.array(F.lit("")),
-    )
-    decoded8 = F.array_join(
-        F.zip_with(parts8, codes8, lambda p, c: F.concat(p, _u8_char(c))),
-        "",
-    )
-    out = F.when(out.contains("\\U"), decoded8).otherwise(out)
     parts = F.split(out, _UCHAR_PAT)
     codes = F.concat(
         F.regexp_extract_all(out, F.lit(_UCHAR_PAT), F.lit(1)),
         F.array(F.lit("")),
     )
     decoded = F.array_join(
-        F.zip_with(
-            parts, codes, lambda p, c: F.concat(p, F.decode(F.unhex(c), "UTF-16BE"))
-        ),
+        F.zip_with(parts, codes, lambda p, c: F.concat(p, _uchar_char(c))),
         "",
     )
-    return F.when(out.contains("\\u"), decoded).otherwise(out)
+    return F.when(out.rlike(r"\\[uU]"), decoded).otherwise(out)
 
 
 def _unescape_literal(col: Column) -> Column:

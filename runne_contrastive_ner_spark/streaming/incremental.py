@@ -561,6 +561,23 @@ def refresh_analytics(
     # block scoping: buckets is layout-only (the merged rows are
     # rewritten under the new spec) and pagerank_iterations never touches
     # tri/comm/core (their fingerprints exclude it, so they skip).
+    recorded_cfps = (
+        fold_mf.extra.get("component_fps", {}) if fold_mf is not None else {}
+    )
+
+    def _component_intact(stage: str) -> bool:
+        # the table whose rows the scoped path would REUSE must still carry
+        # the exact manifest the fold's proof was minted over — a crashed
+        # partial rebuild in between (e.g. a batch run that replaced
+        # analytics_tri with another graph's content, then died before the
+        # fold) breaks this and forces the full path (review finding)
+        mf = load_manifest(io.path(stage))
+        return (
+            mf is not None
+            and io.exists(stage)
+            and recorded_cfps.get(stage) == mf.fingerprint
+        )
+
     can_scope = (
         scope == "auto"
         and old_efp is not None
@@ -568,7 +585,7 @@ def refresh_analytics(
         and compfp_mf.fingerprint == fingerprint("compfp", old_efp)
         and io.exists(ANALYTICS_COMPFP)
         and all(
-            io.exists(s)
+            _component_intact(s)
             for s in ("analytics_tri", "analytics_comm", "analytics_core")
         )
     )
@@ -615,9 +632,19 @@ def refresh_analytics(
 
                 return build
 
+            from ..plans.pipeline import ANALYTICS_LP_ITERATIONS
+
             component_builds = {
                 "tri": _merged("analytics_tri", triangle_counts),
-                "comm": _merged("analytics_comm", label_propagation),
+                "comm": _merged(
+                    "analytics_comm",
+                    # iterations passed EXPLICITLY from the shared constant:
+                    # the recompute leg must match what the fingerprint (and
+                    # the reused rows) were built with (review finding)
+                    lambda e: label_propagation(
+                        e, iterations=ANALYTICS_LP_ITERATIONS
+                    ),
+                ),
                 "core": _merged("analytics_core", k_core_numbers),
             }
             scoped_stats = {
@@ -678,6 +705,19 @@ def refresh_analytics(
                     "triples_snapshot": cur_triples_v,
                     "pagerank_iterations": pagerank_iterations,
                     "buckets": buckets,
+                    # the skip itself verified each component manifest
+                    # matches the graph-seeded fingerprints, so recording
+                    # the on-disk values is sound and lets the NEXT
+                    # refresh's reuse-intactness check pass
+                    "component_fps": {
+                        s: load_manifest(io.path(s)).fingerprint
+                        for s in (
+                            "analytics_pr",
+                            "analytics_tri",
+                            "analytics_comm",
+                            "analytics_core",
+                        )
+                    },
                 }
             )
             write_manifest(io.path("analytics"), mf)

@@ -758,3 +758,51 @@ class TestScopedAnalyticsRefresh:
         with open(os.path.join(wh, "_analytics_stale.json"), "w") as f:
             f.write('{"reason": "torn')  # simulated torn write
         assert analytics_stale_reason(wh) == "unknown"
+
+    def test_tampered_component_blocks_scoped_reuse(self, spark, tmp_path):
+        """Reuse-intactness guard (r8 review finding): the scoped path must
+        refuse to reuse a component table whose manifest no longer matches
+        the fingerprint the fold's proof was minted over — the state a
+        crashed partial rebuild leaves behind. Content must still converge
+        to scratch via the full path."""
+        from runne_contrastive_ner_spark.plans.manifest import (
+            load_manifest,
+            write_manifest,
+        )
+        from runne_contrastive_ner_spark.plans.pipeline import analytics_table
+        from runne_contrastive_ner_spark.sources.tables import TableIO
+        from runne_contrastive_ner_spark.streaming.incremental import (
+            incremental_kg_fold,
+            refresh_analytics,
+        )
+
+        wh = str(tmp_path / "twh2")
+        io = TableIO(spark, wh)
+        batch1 = self._mentions(
+            spark,
+            [("c1", 0, "aa"), ("c1", 0, "bb"),
+             ("c2", 0, "cc"), ("c2", 0, "dd")],
+        )
+        incremental_kg_fold(spark, io, batch1, batch1)
+        refresh_analytics(spark, io)  # full build, mints compfp + proof
+        # simulate the crashed foreign rebuild: analytics_tri's manifest no
+        # longer matches what the fold folded
+        mf = load_manifest(io.path("analytics_tri"))
+        mf.fingerprint = "tampered-by-crashed-rebuild"
+        write_manifest(io.path("analytics_tri"), mf)
+        # graph-changing tail touching only component {cc,dd}
+        batch2 = self._mentions(spark, [("c3", 0, "cc"), ("c3", 0, "zz")])
+        all2 = batch1.unionByName(batch2)
+        incremental_kg_fold(spark, io, all2, batch2)
+        s = refresh_analytics(spark, io)
+        assert not s["scoped"], s  # reuse refused, full path taken
+        scratch = analytics_table(io.read("triples"))
+        assert sorted(map(tuple, io.read("analytics").collect())) == sorted(
+            map(tuple, scratch.collect())
+        )
+        # proof re-minted: the NEXT graph-changing refresh can scope again
+        batch3 = self._mentions(spark, [("c4", 0, "cc"), ("c4", 0, "yy")])
+        all3 = all2.unionByName(batch3)
+        incremental_kg_fold(spark, io, all3, batch3)
+        s2 = refresh_analytics(spark, io)
+        assert s2["scoped"] and s2["components_unchanged"] >= 1, s2

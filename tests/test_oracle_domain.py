@@ -368,3 +368,39 @@ def test_quality_repetition_stats(spark, tmp_path):
         for r in sorted(out.values(), key=lambda r: r.doc_id)
     ]
     assert got == [tuple(w) for w in want]
+
+
+def test_decontamination_flags_exact_ngram_overlap(spark, tmp_path):
+    """Benchmark decontamination (new r8): docs sharing a word 4-gram with
+    the benchmark partition (doc_id % 97 == 0) are flagged with the count
+    of DISTINCT shared grams; benchmark docs themselves never appear; a
+    3-token overlap is below the n-gram size and stays clean; repeating
+    the same shared gram does not inflate the count. The join side is
+    explicitly broadcast (the 100 TB shape: corpus never shuffles before
+    the match)."""
+    from runne_contrastive_ner_spark.operators.textstats import decontamination
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),        # benchmark
+        (97, "one two three four five"),                    # benchmark
+        (1, "x beta gamma delta epsilon y"),                # 1 shared 4-gram
+        (2, "alpha beta gamma delta epsilon"),              # 2 shared 4-grams
+        (3, "totally clean text with no overlap at all"),   # clean
+        (4, "beta gamma delta q r s"),                      # only 3 shared toks
+        (5, "one two three four one two three four"),       # same gram twice
+    ]
+    sf = str(tmp_path / "sfdc")
+    (tmp_path / "sfdc").mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = decontamination(spark, sf)
+    got = {r.doc_id: r.n_shared_ngrams for r in out.collect()}
+    assert got == {1: 1, 2: 2, 5: 1}
+    import io as _io
+    import contextlib as _ctx
+
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()

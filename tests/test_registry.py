@@ -15,6 +15,7 @@ GROUP_A = {
     "rel_sessionization",
     "dd_exact_dup_stats", "dd_ngram_jaccard_pairs",
     "dd_minhash_signatures", "dd_simhash_values",
+    "ts_token_quantiles",  # joined r8 (group resize for ts_decontamination)
 }
 GROUP_B = {
     "tr_span_inventory", "tr_siamese_pairs", "tr_max_seq_len",
@@ -24,11 +25,12 @@ GROUP_B = {
     "sim_ann_ivf_topk",
     "dd_minhash_lsh_candidates", "dd_simhash_near_pairs",
     "dd_embedding_neardup_pairs", "dd_dedup_clusters",
+    "sim_ann_ivf_kmeans_topk",  # joined r8 (group resize)
 }
 
 
 def test_rotation_groups_are_well_formed():
-    assert len(GROUP_A) == 16 and len(GROUP_B) == 16
+    assert len(GROUP_A) == 17 and len(GROUP_B) == 17
     assert not (GROUP_A & GROUP_B)
 
 

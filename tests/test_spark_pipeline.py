@@ -1187,6 +1187,12 @@ class TestRdfAndViews:
             '<urn:kg:ent:surr> <urn:kg:pred:p> "\\U0000D800" .\n'
             '<urn:kg:ent:trunc> <urn:kg:pred:p> "\\U0001F60" .\n'
             '<urn:kg:ent:bslash> <urn:kg:pred:p> "\\U0000005Cn" .\n'
+            # a \\U-minted backslash followed by text that LOOKS like a \\u
+            # escape: single-pass decode must yield backslash + 'u0041',
+            # never re-read the minted backslash as a new escape (review
+            # finding, confirmed repro against the staged two-pass decode)
+            '<urn:kg:ent:remint> <urn:kg:pred:p> "\\U0000005Cu0041" .\n'
+            '<urn:kg:ent:remint2> <urn:kg:pred:p> "\\u005CU0001F600" .\n'
             '<urn:kg:ent:multi> <urn:kg:pred:p> '
             '"\\U0001F600x\\U0001F601" .\n'
         )
@@ -1202,6 +1208,8 @@ class TestRdfAndViews:
             ("surr", "\\U0000D800"),
             ("trunc", "\\U0001F60"),
             ("bslash", "\\n"[0] + "n"),  # backslash char + 'n', NOT newline
+            ("remint", "\\" + "u0041"),  # NOT 'A' — minted bs is literal
+            ("remint2", "\\" + "U0001F600"),  # NOT the emoji
             ("multi", "😀x😁"),
         }
 

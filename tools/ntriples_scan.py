@@ -52,13 +52,19 @@ def main(argv: list[str] | None = None) -> int:
         report: dict = {"path": args.path}
         report.update(ntriples_scan_report(spark, args.path))
         if report["rejected"]:
-            rejects = ntriples_rejects(spark, args.path)
-            report["reject_sample"] = [
-                r["value"] for r in rejects.limit(args.sample_rejects).collect()
-            ]
-            if args.rejects_out:
-                rejects.write.mode("overwrite").text(args.rejects_out)
-                report["rejects_out"] = args.rejects_out
+            # persist: the sample collect and the full write must not each
+            # re-scan a (potentially 100 GB) dump a second and third time
+            rejects = ntriples_rejects(spark, args.path).persist()
+            try:
+                report["reject_sample"] = [
+                    r["value"]
+                    for r in rejects.limit(args.sample_rejects).collect()
+                ]
+                if args.rejects_out:
+                    rejects.write.mode("overwrite").text(args.rejects_out)
+                    report["rejects_out"] = args.rejects_out
+            finally:
+                rejects.unpersist()
         print(json.dumps(report))
         return 0 if report["rejected"] == 0 else 3
     finally:
