@@ -844,8 +844,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query changes, swap it with an untouched member of the in-window
     # group for that round and note the swap here). Round 8 tail check:
     # the r8 diff touches bench/incremental-freshness/rdf-codec/pipeline
-    # fingerprint internals only; no group-A rel_*/dd_* tail query or its
-    # oracle is affected.
+    # fingerprint internals plus operators/textstats.py; no group-A
+    # rel_*/dd_* tail query or its oracle is affected, and the textstats
+    # change is purely ADDITIVE (the new decontamination operator appended
+    # below the existing functions) — ts_token_quantiles, the 17th group-A
+    # member riding the tail this round, has its function body and oracle
+    # textually unchanged.
     return {
         # KG pipeline (stages 1-5 against the derived transcripts table)
         "kg_mentions": kg_mentions,

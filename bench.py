@@ -106,7 +106,9 @@ def _host_id() -> str:
     return f"{platform.node()}|cpus={os.cpu_count()}"
 
 
-def _canary_suspect(f32_reading: float, phase: str = "pre") -> bool:
+def _canary_suspect(
+    f32_reading: float, phase: str = "pre", ts: float | None = None
+) -> bool:
     """Noise judgement against THIS host's committed rolling best (ADVICE
     r6: an absolute threshold calibrated to one host class permanently
     flags any slower machine). Appends the raw reading + host identity +
@@ -134,7 +136,12 @@ def _canary_suspect(f32_reading: float, phase: str = "pre") -> bool:
                 {
                     "host": host,
                     "f32": f32_reading,
-                    "ts": time.time(),
+                    # ts of the MEASUREMENT, not the append: the pre probe
+                    # runs minutes before this record is judged, and the
+                    # history is only usable for correlating probes with
+                    # external load events if its timestamps are honest
+                    # (review finding)
+                    "ts": time.time() if ts is None else ts,
                     "phase": phase,
                 },
                 f,
@@ -182,6 +189,7 @@ def main():
         pass  # non-Linux or restricted: run unpinned
     scorer_windows_sec = scorer_kernel_bench()
     scorer_windows_sec_f32 = scorer_kernel_bench(dtype="float32")
+    pre_probe_ts = time.time()
     spark = build_session(app_name="bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -331,7 +339,9 @@ def main():
     # last measured rep closes the window: the artifact is suspect if
     # EITHER side of the bracket is below threshold.
     scorer_windows_sec_f32_post = scorer_kernel_bench(dtype="float32")
-    noise_pre = _canary_suspect(scorer_windows_sec_f32, phase="pre")
+    noise_pre = _canary_suspect(
+        scorer_windows_sec_f32, phase="pre", ts=pre_probe_ts
+    )
     noise_post = _canary_suspect(scorer_windows_sec_f32_post, phase="post")
 
     out = {

@@ -113,13 +113,23 @@ def _u8_char(hex8: Column) -> Column:
 
 def _uchar_char(c: Column) -> Column:
     """One captured UCHAR payload — ``uXXXX`` or ``UXXXXXXXX`` (or the
-    empty zip_with pad) — to its character."""
+    empty zip_with pad) — to its character. The ``\\u`` branch carries the
+    SAME surrogate-gap guard as ``_u8_char``: a lone ``\\uD800``-style
+    escape (including JSON-style surrogate PAIRS, which the N-Triples
+    grammar does not allow — UCHAR encodes a scalar value) keeps its
+    escape text raw instead of feeding UTF-16BE decode a malformed unit,
+    which would ABORT the whole scan with MALFORMED_CHARACTER_CODING
+    (review finding, confirmed by repro) — the opposite of the tolerant
+    contract."""
+    hex4 = c.substr(F.lit(2), F.lit(4))
+    cp4 = F.conv(hex4, 16, 10).cast("long")
+    lone_surrogate = (cp4 >= 0xD800) & (cp4 <= 0xDFFF)
     return (
         F.when(c == "", F.lit(""))
         .when(
-            c.startswith("u"),
-            F.decode(F.unhex(c.substr(F.lit(2), F.lit(4))), "UTF-16BE"),
+            c.startswith("u") & lone_surrogate, F.concat(F.lit("\\"), c)
         )
+        .when(c.startswith("u"), F.decode(F.unhex(hex4), "UTF-16BE"))
         .otherwise(_u8_char(c.substr(F.lit(2), F.lit(8))))
     )
 

@@ -589,7 +589,24 @@ def refresh_analytics(
             for s in ("analytics_tri", "analytics_comm", "analytics_core")
         )
     )
-    if can_scope:
+    if can_scope and old_efp == efp:
+        # params-only tier 3 (e.g. a buckets change on an UNCHANGED
+        # graph): the per-component diff is all-unchanged by construction,
+        # so the CC job + fingerprint aggregation would be pure waste
+        # (review finding). Components whose fingerprints changed (layout
+        # knobs) rewrite straight from their own prior rows; components
+        # whose fingerprints did not change skip inside the runner and
+        # these builds never run.
+        def _rewrite(table: str):
+            return lambda: io.read(table)
+
+        component_builds = {
+            "tri": _rewrite("analytics_tri"),
+            "comm": _rewrite("analytics_comm"),
+            "core": _rewrite("analytics_core"),
+        }
+        scoped_stats = {"scoped": True, "sub_edges": 0}
+    elif can_scope:
         membership = connected_components(edges).localCheckpoint(eager=True)
         new_compfp = component_fingerprints(edges, membership).localCheckpoint(
             eager=True
@@ -670,17 +687,20 @@ def refresh_analytics(
         component_builds=component_builds,
     )
     # mint/refresh the per-component fingerprint table for the NEW graph so
-    # the NEXT refresh can take the scoped path (skips when this graph's
-    # table already exists — same manifest discipline as every stage)
-    if membership is None:
-        membership = connected_components(edges)
-    compfp_df = (
-        new_compfp if new_compfp is not None else component_fingerprints(edges, membership)
-    )
+    # the NEXT refresh can take the scoped path. The build is LAZY: the
+    # runner checks the manifest first, so when this graph's table already
+    # exists (params-only rebuilds, repeated refreshes) the CC job inside
+    # never runs (review finding).
+    def _build_compfp() -> DataFrame:
+        if new_compfp is not None:
+            return new_compfp
+        m = membership if membership is not None else connected_components(edges)
+        return component_fingerprints(edges, m)
+
     runner.run(
-        "analytics_compfp",
+        ANALYTICS_COMPFP,
         fingerprint("compfp", efp),
-        lambda: compfp_df,
+        _build_compfp,
         lineage_key="rep",
     )
     _clear_marker()

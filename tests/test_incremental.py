@@ -729,7 +729,22 @@ class TestScopedAnalyticsRefresh:
         incremental_kg_fold(spark, io, batch, batch)
         s1 = refresh_analytics(spark, io, buckets=16)
         assert s1["rebuilt"]
-        s2 = refresh_analytics(spark, io, buckets=8)
+        # params-only tier 3 must NOT pay the connected-components job:
+        # the graph is unchanged, so the per-component diff is
+        # all-unchanged by construction (r8 review finding) — assert by
+        # making CC explode
+        import runne_contrastive_ner_spark.operators.components as comp_mod
+
+        real_cc = comp_mod.connected_components
+
+        def _boom(*_a, **_k):
+            raise AssertionError("params-only rebuild must not run CC")
+
+        comp_mod.connected_components = _boom
+        try:
+            s2 = refresh_analytics(spark, io, buckets=8)
+        finally:
+            comp_mod.connected_components = real_cc
         assert {"analytics_tri", "analytics_comm", "analytics_core",
                 "analytics"} <= set(s2["rebuilt"]), s2
         mf = load_manifest(io.path("analytics"))

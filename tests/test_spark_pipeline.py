@@ -1193,6 +1193,12 @@ class TestRdfAndViews:
             # finding, confirmed repro against the staged two-pass decode)
             '<urn:kg:ent:remint> <urn:kg:pred:p> "\\U0000005Cu0041" .\n'
             '<urn:kg:ent:remint2> <urn:kg:pred:p> "\\u005CU0001F600" .\n'
+            # lone-surrogate \\u escapes must stay RAW, not abort the scan
+            # with MALFORMED_CHARACTER_CODING (review finding, confirmed
+            # repro) — including JSON-style surrogate pairs, which the
+            # N-Triples grammar does not allow (UCHAR = scalar value)
+            '<urn:kg:ent:lonesurr> <urn:kg:pred:p> "\\uD800" .\n'
+            '<urn:kg:ent:jsonpair> <urn:kg:pred:p> "\\uD83D\\uDE00ok" .\n'
             '<urn:kg:ent:multi> <urn:kg:pred:p> '
             '"\\U0001F600x\\U0001F601" .\n'
         )
@@ -1210,6 +1216,8 @@ class TestRdfAndViews:
             ("bslash", "\\n"[0] + "n"),  # backslash char + 'n', NOT newline
             ("remint", "\\" + "u0041"),  # NOT 'A' — minted bs is literal
             ("remint2", "\\" + "U0001F600"),  # NOT the emoji
+            ("lonesurr", "\\" + "uD800"),
+            ("jsonpair", "\\" + "uD83D" + "\\" + "uDE00" + "ok"),
             ("multi", "😀x😁"),
         }
 
