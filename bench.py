@@ -163,7 +163,7 @@ def _canary_suspect(
     return bool(f32_reading < CANARY_SUSPECT_FRACTION * max(best, f32_reading))
 
 
-def _latest_quiet_record() -> str | None:
+def _latest_quiet_record(here: str | None = None) -> str | None:
     """Repo-relative path of the newest committed canary-quiet bench
     record (BENCH/quiet_r*.json) — the artifact a reader should treat as
     the round's authoritative numbers when the driver-run artifact is
@@ -172,7 +172,8 @@ def _latest_quiet_record() -> str | None:
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
 
     def round_no(p: str) -> int:
         # numeric sort: lexicographic would put quiet_r100 before quiet_r99
