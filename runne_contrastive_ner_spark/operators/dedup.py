@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import spark_md5_int_sql
-from .relational import load
+from .relational import load, load_floor
 
 N_PERMS = 16
 BAND_SIZE = 4
@@ -49,8 +49,12 @@ def _shingles(tokens_col: str = "toks", n: int = 3):
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # load_floor: the tokenize + shingle transform + per-shingle md5 all
+    # run in the scan stage — without the parallelism floor a one-split
+    # parquet pins them to a single core (measured: the whole minhash
+    # family was scan-task-bound at sf1.0)
     return (
-        load(spark, sf_dir, "documents")
+        load_floor(spark, sf_dir, "documents", "doc_id")
         .select(F.col("doc_id").cast("bigint").alias("doc_id"), _tokens().alias("toks"))
         .select("doc_id", F.explode(_shingles()).alias("shingle"))
         .filter(F.col("shingle") != "")
@@ -134,72 +138,78 @@ def _minhash_consts(n_perms: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str, n_perms: int = N_PERMS) -> DataFrame:
-    """MinHash signature rows (doc_id, seed, minhash): ONE md5 per shingle
-    occurrence + ``n_perms`` universal-hash derivations
-    ``(A_s * h + B_s) mod p`` (exact int64 arithmetic, bit-identical in
-    DuckDB), then one groupBy(doc, seed) min — fully JVM-side. The previous
-    form hashed md5(seed:shingle) per (occurrence × permutation), i.e.
-    n_perms× the cryptohash work for the same statistical properties.
+def _minhash_wide(spark: SparkSession, sf_dir: str, n_perms: int = N_PERMS) -> DataFrame:
+    """ONE row per document with the whole signature as ``n_perms`` minhash
+    columns ``mh0..mh{n-1}``: one md5 per shingle occurrence, then a single
+    groupBy(doc_id) whose aggregate list is ``n_perms`` independent
+    ``min((A_s * h + B_s) % p)`` columns (exact int64 arithmetic,
+    bit-identical in DuckDB).
 
-    Measured negative result (r3): a zero-shuffle variant computing the
-    whole signature as a nested higher-order expression per document
-    (transform(seeds, array_min(transform(hashes, ...)))) was 10× SLOWER
-    (2.3s → 20s at sf0.1) — nested SQL lambdas fall out of whole-stage
-    codegen and re-evaluate the constant arrays per element, and the
-    shuffle-free plan inherits the scan's split count (1 small file → 1
-    task). The flat explode + groupBy keeps codegen and parallelism; the
-    7.8M-row exchange of (bigint, int, bigint) is the cheap part."""
+    Why wide instead of the r3-r8 explode(seed)+groupBy(doc, seed) form
+    (guide §2.3 "aggregate before you shuffle"): the explode multiplied the
+    exchange by n_perms — every shingle occurrence shipped 16 (doc, seed, h)
+    rows into the shuffle before any reduction (7.8M rows at sf0.1, 78M at
+    sf1.0). The wide aggregate is a plain hash aggregate with 16 long
+    buffers, so the map side reduces each partition to one row per distinct
+    doc_id BEFORE the exchange: shuffle volume drops from
+    O(shingle_occurrences × n_perms) to O(docs × n_perms) packed in one row.
+    Unlike the r3 negative result (nested SQL lambdas per document, which
+    fell out of whole-stage codegen), the per-column min aggregates are flat
+    codegen-friendly expressions and keep the scan's explode parallelism.
+    """
     a_consts, b_consts = _minhash_consts(n_perms)
-    a_lit = "array(" + ",".join(f"{x}L" for x in a_consts) + ")"
-    b_lit = "array(" + ",".join(f"{x}L" for x in b_consts) + ")"
-    sh = doc_shingles(spark, sf_dir).withColumn(
-        "h", F.expr(spark_md5_int_sql("shingle", hex_digits=8))
+    sh = doc_shingles(spark, sf_dir).select(
+        "doc_id", F.expr(spark_md5_int_sql("shingle", hex_digits=8)).alias("h")
     )
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.expr(f"sequence(0, {n_perms - 1})")).alias("seed"),
-        F.col("h"),
-    )
-    minhash = F.expr(
-        f"(element_at({a_lit}, seed + 1) * h + element_at({b_lit}, seed + 1))"
-        f" % {MINHASH_P}"
-    )
-    return (
-        seeded.withColumn("mh", minhash)
-        .groupBy("doc_id", F.col("seed").cast("bigint").alias("seed"))
-        .agg(F.min("mh").alias("minhash"))
+    mins = [
+        F.min(
+            (F.col("h") * F.lit(a_consts[k]) + F.lit(b_consts[k])) % F.lit(MINHASH_P)
+        ).alias(f"mh{k}")
+        for k in range(n_perms)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str, n_perms: int = N_PERMS) -> DataFrame:
+    """MinHash signature rows (doc_id, seed, minhash) — the declared-query
+    long form, produced by unpivoting the wide per-document signature with
+    ``stack`` (a pure projection: the n_perms-fold row expansion happens
+    AFTER the aggregation instead of before the shuffle as in r3-r8)."""
+    wide = _minhash_wide(spark, sf_dir, n_perms)
+    stack_args = ", ".join(f"{k}L, mh{k}" for k in range(n_perms))
+    return wide.selectExpr(
+        "doc_id", f"stack({n_perms}, {stack_args}) AS (seed, minhash)"
     )
 
 
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: 16 perms → 4 bands of 4; candidate pairs are docs
     sharing any band key (equi-join on the band hash — the 100 TB path:
-    no quadratic comparison anywhere)."""
-    sig = minhash_signatures(spark, sf_dir)
-    # band signature via a positional min-when pivot: each (doc, seed) row is
-    # unique, so min(when(seed%B == k)) selects THE k-th minhash of the band
-    # — a plain hash aggregate, no collect_list/array_sort object aggregation
-    pivots = [
-        F.min(
-            F.when(F.col("seed") % BAND_SIZE == k, F.col("minhash"))
-        ).alias(f"m{k}")
-        for k in range(BAND_SIZE)
-    ]
-    banded = (
-        sig.withColumn("band", (F.col("seed") / BAND_SIZE).cast("bigint"))
-        .groupBy("doc_id", "band")
-        .agg(*pivots)
-        .withColumn(
-            "band_key",
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.col("band").cast("string"),
-                    *[F.col(f"m{k}").cast("string") for k in range(BAND_SIZE)],
-                )
-            ),
+    no quadratic comparison anywhere).
+
+    Band keys are computed straight from the wide per-document signature
+    (band b covers seeds 4b..4b+3, i.e. columns mh{4b}..mh{4b+3}), so the
+    r3-r8 second groupBy(doc, band) pivot is gone: the only pre-join
+    exchange is the wide signature's single groupBy(doc_id). The md5 band
+    key itself is unchanged — md5(band ":" m0 ":" m1 ":" m2 ":" m3) — so
+    the candidate-pair set is bit-identical to the DuckDB oracle."""
+    wide = _minhash_wide(spark, sf_dir)
+    n_bands = N_PERMS // BAND_SIZE
+    keys = [
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(str(band)),
+                *[
+                    F.col(f"mh{band * BAND_SIZE + k}").cast("string")
+                    for k in range(BAND_SIZE)
+                ],
+            )
         )
+        for band in range(n_bands)
+    ]
+    banded = wide.select(
+        "doc_id", F.explode(F.array(*keys)).alias("band_key")
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -284,36 +294,39 @@ def dedup_clusters(
 
 def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document: token-count-weighted bit votes over the
-    portable token hash. Bit extraction uses floor-div by powers of two so
-    the arithmetic is identical in DuckDB."""
+    portable token hash.
+
+    Shape (r9, guide §2.3/§2.4): ONE wide groupBy(doc_id) whose aggregate
+    list is the 32 per-bit vote sums ``sum(2*((h >> b) & 1) - 1)`` computed
+    per token OCCURRENCE, followed by a pure projection that assembles the
+    signature. Summing ±1 per occurrence is integer-identical to the
+    oracle's per-distinct-token ``(2*bit - 1) * cnt`` weighting (the count
+    is just the number of occurrence terms), and ``(h >> b) & 1`` equals
+    the oracle's ``floor(h / 2^b) % 2`` because h is a non-negative 32-bit
+    value. The r3-r8 form paid three exchanges with a 32× bit explode in
+    the middle (distinct (doc, tok) rows × 32 bit rows ≈ 100M rows at
+    sf1.0); this form's only exchange carries one 32-column row per
+    distinct doc_id per map partition (map-side partial aggregation)."""
     toks = (
-        load(spark, sf_dir, "documents")
-        .select(F.col("doc_id").cast("bigint").alias("doc_id"), F.explode(_tokens()).alias("tok"))
+        load_floor(spark, sf_dir, "documents", "doc_id")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.explode(_tokens()).alias("tok"),
+        )
         .filter(F.col("tok") != "")
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", F.expr(spark_md5_int_sql("tok", hex_digits=8)))
+        .select("doc_id", F.expr(spark_md5_int_sql("tok", hex_digits=8)).alias("h"))
     )
-    bits = toks.select(
-        "doc_id",
-        "cnt",
-        "h",
-        F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("b"),
-    ).withColumn(
-        "vote",
-        (2 * (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("b"))).cast("bigint") % 2) - 1)
-        * F.col("cnt"),
+    votes = [
+        F.sum(F.shiftright(F.col("h"), b) % 2 * 2 - 1).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    bit_terms = " + ".join(
+        f"IF(v{b} >= 0, {1 << b}L, 0L)" for b in range(SIMHASH_BITS)
     )
     return (
-        bits.groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("v"))
-        .withColumn("bit", (F.col("v") >= 0).cast("bigint"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("b")).cast("bigint"))
-            .cast("bigint")
-            .alias("simhash")
-        )
+        toks.groupBy("doc_id")
+        .agg(*votes)
+        .select("doc_id", F.expr(bit_terms).alias("simhash"))
     )
 
 
@@ -348,7 +361,13 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 6) -
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    # hamming filter BEFORE the distinct (guide §2.3): the filter is a
+    # deterministic row predicate, so filter-then-distinct equals
+    # distinct-then-filter — but the distinct's exchange now carries only
+    # the near pairs instead of every band-collision candidate (the
+    # candidate multiset is the near-quadratic part at low band widths;
+    # measured 120s → sub-second materialization at sf1.0)
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -358,14 +377,12 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 6) -
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("bigint").alias(
+                "hamming"
+            ),
         )
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("bigint"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
         .select("doc_a", "doc_b", "hamming")
     )
 

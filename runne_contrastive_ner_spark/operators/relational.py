@@ -26,6 +26,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_floor(spark: SparkSession, sf_dir: str, name: str, *keys: str) -> DataFrame:
+    """``load`` plus a parallelism floor for HEAVY-COMPUTE scans (guide
+    §2.5 input skew: repartition immediately after the read — the idiom
+    operators/mentions.py:126-134 established for the pandas-UDF scan).
+
+    A small single-row-group parquet arrives as ONE scan split, which pins
+    every per-row expression downstream of it (md5 shingling, token
+    hashing, hyperplane dot products) to a single core no matter how many
+    the session has. Below ``defaultParallelism`` source partitions, one
+    cheap deterministic hash repartition of the raw rows buys full fan-out
+    of the expensive stage; at production scale the scan already has >=
+    defaultParallelism splits and this is a no-op (no exchange added), so
+    the floor is scale-adaptive rather than a local[32] constant. Hash
+    keys (not round-robin) keep the exchange free of the
+    sort-before-repartition pass and retry-deterministic."""
+    df = load(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, *[F.col(k) for k in keys])
+    return df
+
+
 # --- aggregations -----------------------------------------------------------
 
 def event_type_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
