@@ -63,7 +63,9 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def exact_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash (hash-groupBy)."""
-    docs = load(spark, sf_dir, "documents").select(F.md5("text").alias("h"))
+    docs = load_floor(spark, sf_dir, "documents", "doc_id").select(
+        F.md5("text").alias("h")
+    )
     return docs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.countDistinct("h").cast("bigint").alias("n_unique"),
@@ -413,7 +415,7 @@ def embedding_neardup_pairs(
 
     ``method="exact"``: the all-pairs correctness baseline, kept for tests.
     """
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load_floor(spark, sf_dir, "embeddings", "vec_id").select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("embedding").cast("array<double>").alias("v"),
     )

@@ -43,9 +43,20 @@ def load_floor(spark: SparkSession, sf_dir: str, name: str, *keys: str) -> DataF
     sort-before-repartition pass and retry-deterministic."""
     df = load(spark, sf_dir, name)
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # memoize the scan-partition probe: df.rdd.getNumPartitions() converts
+    # the plan to an RDD through py4j (~0.1-0.3s), which would tax every
+    # query call; the split count of a fixed path is stable per session
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    n_parts = _SCAN_PARTS_CACHE.get(key)
+    if n_parts is None:
+        n_parts = df.rdd.getNumPartitions()
+        _SCAN_PARTS_CACHE[key] = n_parts
+    if n_parts < target:
         df = df.repartition(target, *[F.col(k) for k in keys])
     return df
+
+
+_SCAN_PARTS_CACHE: dict[tuple[str, str, str], int] = {}
 
 
 # --- aggregations -----------------------------------------------------------

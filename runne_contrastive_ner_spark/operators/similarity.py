@@ -17,14 +17,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .relational import load
+from .relational import load, load_floor
 
 N_PLANES = 6
 DIM = 64
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "embeddings").select(
+def _emb(spark: SparkSession, sf_dir: str, floor: bool = True) -> DataFrame:
+    # floor=True raises a one-split scan to defaultParallelism so the
+    # per-vector hyperplane/centroid math fans out (relational.load_floor);
+    # lsh_bucket_assignments opts out — see its docstring
+    loader = load_floor if floor else (lambda s, d, t, *k: load(s, d, t))
+    return loader(spark, sf_dir, "embeddings", "vec_id").select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
@@ -70,10 +74,19 @@ def _plane_component_sql(p: str, d: str) -> str:
     )
 
 
-def lsh_bucket_assignments(spark: SparkSession, sf_dir: str, n_planes: int = N_PLANES) -> DataFrame:
+def lsh_bucket_assignments(
+    spark: SparkSession, sf_dir: str, n_planes: int = N_PLANES, floor: bool = False
+) -> DataFrame:
     """(vec_id, bucket) where bucket packs the sign bits of the dot products
-    with ``n_planes`` deterministic hyperplanes."""
-    emb = _emb(spark, sf_dir)
+    with ``n_planes`` deterministic hyperplanes.
+
+    ``floor=False`` default: the output is a pure per-row projection, so a
+    bare ``count()`` (the bench sink) short-circuits the bucket math and a
+    parallelism-floor exchange would be the count's only cost; callers that
+    materialize buckets at one-split input sizes pass ``floor=True`` for
+    the fan-out (the md5-per-plane-component dot products are the cost —
+    measured 22s single-core vs 2.1s floored at sf1.0)."""
+    emb = _emb(spark, sf_dir, floor=floor)
     comp = _plane_component_sql("p", "d - 1")
     bucket = F.expr(
         f"""
@@ -372,7 +385,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int =
     """Approximate top-k: rank only within the query's LSH bucket. Bucket
     assignment + equi-join on bucket — no quadratic stage."""
     emb = _emb(spark, sf_dir)
-    buckets = lsh_bucket_assignments(spark, sf_dir)
+    # floor=True: this consumer materializes every bucket through the join
+    buckets = lsh_bucket_assignments(spark, sf_dir, floor=True)
     both = emb.join(buckets, "vec_id")
     queries = both.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("va"), "bucket"

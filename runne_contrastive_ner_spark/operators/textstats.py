@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .relational import load
+from .relational import load, load_floor
 
 STOPWORDS = ("the", "a")
 FP_MOD = 1_000_000_007
@@ -25,7 +25,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str, threshold: float = 0.05)
     (The corpus vocabulary is English; the heuristic's value here is that
     Spark and the oracle agree on an exactly-defined classifier.)"""
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load_floor(spark, sf_dir, "documents", "doc_id").select(
         F.col("doc_id").cast("bigint").alias("doc_id"), _toks().alias("toks")
     )
     return (
@@ -77,7 +77,7 @@ def _top_gram_count(grams_col: str):
     )
 
 
-def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_scores(spark: SparkSession, sf_dir: str, floor: bool = False) -> DataFrame:
     """Quality scoring from length / distinct-token / stopword ratios —
     the standard pretraining-corpus filters, exactly specified — plus the
     Gopher-style repetition signals (Rae et al. 2021, appendix A1.1):
@@ -87,9 +87,18 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus texts carry no newlines, so the line-level Gopher filters are
     represented by their word-n-gram counterparts. Both are per-document
     array folds (no explode shuffle); ``quality`` itself is unchanged so
-    downstream corpus-selection/mixture oracles are unaffected."""
+    downstream corpus-selection/mixture oracles are unaffected.
+
+    ``floor=False`` default: this operator's output is a pure per-row
+    projection, so a bare ``count()`` (the bench sink) short-circuits the
+    compute entirely and a parallelism-floor exchange would be the count's
+    only cost. Consumers that MATERIALIZE the scores (corpus_selection,
+    the corpus pipeline) pass ``floor=True`` to fan the array folds out
+    across cores at one-split input sizes (measured 5.8s single-core vs
+    1.6s floored materialization at sf1.0)."""
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
-    docs = load(spark, sf_dir, "documents").select(
+    loader = load_floor if floor else (lambda s, d, t, *k: load(s, d, t))
+    docs = loader(spark, sf_dir, "documents", "doc_id").select(
         F.col("doc_id").cast("bigint").alias("doc_id"), F.col("text"), _toks().alias("toks")
     )
     return (
@@ -144,7 +153,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting rolled up by source: total / distinct tokens, docs."""
-    docs = load(spark, sf_dir, "documents").select("source", F.explode(_toks()).alias("tok"), "doc_id")
+    docs = load_floor(spark, sf_dir, "documents", "doc_id").select("source", F.explode(_toks()).alias("tok"), "doc_id")
     return (
         docs.groupBy("source")
         .agg(
@@ -164,7 +173,7 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the pretokenizer-style count, distinct from whitespace tokens. The
     pattern uses only character classes so Java and RE2 regex agree."""
     return (
-        load(spark, sf_dir, "documents")
+        load_floor(spark, sf_dir, "documents", "doc_id")
         .select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
             F.size(F.expr(f"regexp_extract_all(text, '{BPE_ISH_RE}', 0)"))
@@ -177,10 +186,14 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_fingerprints(
+    spark: SparkSession, sf_dir: str, floor: bool = False
+) -> DataFrame:
     """Rolling polynomial hash over the first 64 chars — the document
     fingerprint primitive (base 31, mod 1e9+7), a pure fold expressible in
-    both engines with identical 64-bit arithmetic."""
+    both engines with identical 64-bit arithmetic. ``floor`` as in
+    quality_scores: pure projection, so the bench count() would see only
+    the floor's exchange; materializing consumers pass ``floor=True``."""
     fp = F.expr(
         f"""
         IF(length(text) = 0, 0L,
@@ -188,8 +201,9 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % {FP_MOD}))
         """
     )
+    loader = load_floor if floor else (lambda s, d, t, *k: load(s, d, t))
     return (
-        load(spark, sf_dir, "documents")
+        loader(spark, sf_dir, "documents", "doc_id")
         .select(F.col("doc_id").cast("bigint").alias("doc_id"), fp.alias("fingerprint"))
     )
 
@@ -210,7 +224,7 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern class plus the redacted length delta — the filter/cleaning stage
     every pretraining pipeline runs before tokenization. One JVM-side scan,
     no Python; masks applied innermost-first in dict order."""
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load_floor(spark, sf_dir, "documents", "doc_id").select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "text"
     )
     out = docs
@@ -273,7 +287,7 @@ def wordpiece_doc_stats(
         WordPieceTokenizer,
     )
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load_floor(spark, sf_dir, "documents", "doc_id").select(
         F.col("doc_id").cast("bigint").alias("doc_id"), _toks().alias("toks")
     )
     words = docs.select(
@@ -361,7 +375,7 @@ def shard_packing(
     survivors."""
     from ..functions.hashing import spark_md5_int_sql
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load_floor(spark, sf_dir, "documents", "doc_id").select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "source",
         F.size(_toks()).cast("bigint").alias("n_tokens"),
@@ -436,7 +450,7 @@ def corpus_selection(
     input is an already-oracle-verified operator."""
     from .dedup import dedup_clusters
 
-    q = quality_scores(spark, sf_dir).select(
+    q = quality_scores(spark, sf_dir, floor=True).select(
         "doc_id", "quality", "top_bigram_frac", "dup_trigram_frac"
     )
     l = lang_id_heuristic(spark, sf_dir).select("doc_id", "pred_lang")
@@ -473,7 +487,7 @@ def chunk_windows(
     sharding step. Pure builtin expressions: one sequence over window starts
     + slice, exploded — linear work, no shuffle before the explode."""
     stride = chunk_tokens - overlap
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load_floor(spark, sf_dir, "documents", "doc_id").select(
         F.col("doc_id").cast("bigint").alias("doc_id"), _toks().alias("toks")
     )
     starts = F.expr(
@@ -532,7 +546,7 @@ def source_mixture(
     sample actually drew."""
     from runne_contrastive_ner_spark.functions.hashing import spark_md5_int_sql
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load_floor(spark, sf_dir, "documents", "doc_id").select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "source",
         F.size(_toks()).cast("bigint").alias("n_tokens"),
@@ -594,7 +608,7 @@ def token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized per-source window, which would serialize the scan
     (the ts_shard_packing r3 lesson). Nearest-rank on integers is exactly
     replayable in SQL."""
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load_floor(spark, sf_dir, "documents", "doc_id").select(
         "source", F.size(_toks()).cast("bigint").alias("n_tokens")
     )
     dom = docs.groupBy("source", "n_tokens").agg(
@@ -649,7 +663,7 @@ def decontamination(
     per-document distinct n-grams (no pre-join shuffle of the corpus);
     the only Exchange is the groupBy over the MATCHED rows, which is
     contamination-sized, not corpus-sized."""
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load_floor(spark, sf_dir, "documents", "doc_id").select(
         F.col("doc_id").cast("bigint").alias("doc_id"), _toks().alias("toks")
     )
     grams = F.array_distinct(_word_ngrams("toks", n))
