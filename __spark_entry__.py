@@ -850,8 +850,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # below the existing functions) — ts_token_quantiles, the 17th group-A
     # member riding the tail this round, has its function body and oracle
     # textually unchanged.
+    # Round 9 (odd, optimization round): group A rotates back in-window per
+    # schedule. The scheduled tail (group B) cannot ride whole: the r9
+    # optimization diff reworks operators/dedup.py (wide minhash/simhash
+    # aggregation) and adds the scan parallelism floor through
+    # operators/similarity.py's shared _emb scan, so NINE group-B members'
+    # implementations changed — dd_{minhash_lsh_candidates,
+    # simhash_near_pairs, embedding_neardup_pairs, dedup_clusters} and
+    # sim_{ann_bruteforce_topk, lsh_buckets, ann_lsh_topk, ann_ivf_topk,
+    # ann_ivf_kmeans_topk} — and stay in-window per the changed-query rule.
+    # In their place ride NINE kg_* queries untouched by the r9 diff
+    # (__spark_entry__ kg functions, operators/graph.py, linking.py,
+    # predicates.py, mentions.py all textually unchanged this round):
+    # kg_verb_predicates, kg_entity_lifespans, kg_type_freqs,
+    # kg_embedding_components, kg_mention_eval{,_macro,_token},
+    # kg_entity_degrees, kg_conv_summaries — every one with green r8
+    # driver rows (CORRECTNESS_r08), the freshest evidence on the books.
+    # tests/test_registry.py encodes this r9 swap tail explicitly.
+    # All oracles are textually unchanged in r9 (the optimization contract).
     return {
-        # KG pipeline (stages 1-5 against the derived transcripts table)
+        # KG pipeline core (stages 1-5 against the derived transcripts
+        # table) — the 12 kg_* members staying in-window this round
         "kg_mentions": kg_mentions,
         "kg_entities": kg_entities,
         "kg_entities_embedding": kg_entities_embedding,
@@ -864,16 +883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": kg_communities,
         "kg_edge_lift": kg_edge_lift,
         "kg_degree_histogram": kg_degree_histogram,
-        "kg_verb_predicates": kg_verb_predicates,
-        "kg_entity_lifespans": kg_entity_lifespans,
-        "kg_type_freqs": kg_type_freqs,
-        "kg_embedding_components": kg_embedding_components,
-        "kg_mention_eval": kg_mention_eval,
-        "kg_mention_eval_macro": kg_mention_eval_macro,
-        "kg_mention_eval_token": kg_mention_eval_token,
-        "kg_entity_degrees": kg_entity_degrees,
-        "kg_conv_summaries": kg_conv_summaries,
-        # text analysis (first driver rows r4 — keep in window for a 2nd)
+        # text analysis — touched by the r9 scan-floor diff (load_floor /
+        # floor= parameter), so every ts_* member sits in-window
         "ts_lang_id": ts.lang_id_heuristic,
         "ts_quality_scores": ts.quality_scores,
         "ts_token_stats_by_source": ts.token_stats_by_source,
@@ -885,38 +896,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_shard_packing": ts.shard_packing,
         "ts_corpus_selection": ts.corpus_selection,
         "ts_source_mixture": ts.source_mixture,
-        # NEW r8: benchmark decontamination (n-gram overlap vs a held-out
-        # eval set) — enters in-window per the new-query rule
         "ts_decontamination": ts.decontamination,
-        # rotation group B — back in the window this round (last driver
-        # rows r6, the oldest on the books; the r7 judge re-run was
-        # out-of-band evidence)
-        "tr_span_inventory": tr_span_inventory,
-        "tr_siamese_pairs": tr_siamese_pairs,
-        "tr_max_seq_len": tr_max_seq_len,
-        "tr_ner_trainset": tr_ner_trainset,
-        "tr_siamese_tensors": tr_siamese_tensors,
-        "tr_kg_negatives": tr_kg_negatives,
-        "mm_media_features": mm_media_features,
-        "mm_frame_sample": mm_frame_sample,
-        "sim_ann_bruteforce_topk": sim.ann_bruteforce_topk,
-        "sim_lsh_buckets": sim.lsh_bucket_assignments,
-        "sim_ann_lsh_topk": sim.ann_lsh_topk,
-        "sim_ann_ivf_topk": sim.ann_ivf_topk,
-        "dd_minhash_lsh_candidates": dd.minhash_lsh_candidates,
-        "dd_simhash_near_pairs": dd.simhash_near_pairs,
-        "dd_embedding_neardup_pairs": dd.embedding_neardup_pairs,
-        "dd_dedup_clusters": dd.dedup_clusters,
-        # trained k-means IVF — joined group B in r8 (in-window this round)
-        "sim_ann_ivf_kmeans_topk": sim.ann_ivf_kmeans_topk,
-        # ---- registry position 51+ from here: rotation group A (green in
-        # the r7 driver gate — the freshest evidence, untouched by the r8
-        # diff, so it rides the tail this round and returns to the window
-        # next round)
-        "dd_exact_dup_stats": dd.exact_dup_stats,
-        "dd_ngram_jaccard_pairs": dd.ngram_jaccard_pairs,
-        "dd_minhash_signatures": dd.minhash_signatures,
-        "dd_simhash_values": dd.simhash_values,
+        "ts_token_quantiles": ts.token_quantiles,
+        # rotation group A rel_* — back in the window per the odd-round
+        # schedule (last driver rows r7)
         "rel_event_type_freqs": rel.event_type_freqs,
         "rel_min_freq_gate": rel.min_freq_gate,
         "rel_pricing_summary": rel.pricing_summary,
@@ -929,9 +912,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_within_hour_pairs": rel.events_within_hour_pairs,
         "rel_event_transitions": rel.event_transitions,
         "rel_sessionization": rel.sessionization,
-        # exact token quantiles — joined group A in r8 (driver evidence
-        # r7-fresh; rides the tail this round, back in-window r9)
-        "ts_token_quantiles": ts.token_quantiles,
+        # rotation group A dd_* — in-window per schedule AND changed in r9
+        # (wide minhash/simhash aggregation, scan floor)
+        "dd_exact_dup_stats": dd.exact_dup_stats,
+        "dd_ngram_jaccard_pairs": dd.ngram_jaccard_pairs,
+        "dd_minhash_signatures": dd.minhash_signatures,
+        "dd_simhash_values": dd.simhash_values,
+        # group-B members whose implementations changed in r9 — swapped
+        # INTO the window per the changed-query rule (see block comment)
+        "dd_minhash_lsh_candidates": dd.minhash_lsh_candidates,
+        "dd_simhash_near_pairs": dd.simhash_near_pairs,
+        "dd_embedding_neardup_pairs": dd.embedding_neardup_pairs,
+        "dd_dedup_clusters": dd.dedup_clusters,
+        "sim_ann_bruteforce_topk": sim.ann_bruteforce_topk,
+        "sim_lsh_buckets": sim.lsh_bucket_assignments,
+        "sim_ann_lsh_topk": sim.ann_lsh_topk,
+        "sim_ann_ivf_topk": sim.ann_ivf_topk,
+        "sim_ann_ivf_kmeans_topk": sim.ann_ivf_kmeans_topk,
+        # ---- registry position 51+ from here: the r9 tail = the group-B
+        # members untouched by the r9 diff (tr_*, mm_* — trainset.py,
+        # multimodal.py textually unchanged) plus the nine swapped-out
+        # kg_* queries (also untouched; green r8 driver rows)
+        "tr_span_inventory": tr_span_inventory,
+        "tr_siamese_pairs": tr_siamese_pairs,
+        "tr_max_seq_len": tr_max_seq_len,
+        "tr_ner_trainset": tr_ner_trainset,
+        "tr_siamese_tensors": tr_siamese_tensors,
+        "tr_kg_negatives": tr_kg_negatives,
+        "mm_media_features": mm_media_features,
+        "mm_frame_sample": mm_frame_sample,
+        "kg_verb_predicates": kg_verb_predicates,
+        "kg_entity_lifespans": kg_entity_lifespans,
+        "kg_type_freqs": kg_type_freqs,
+        "kg_embedding_components": kg_embedding_components,
+        "kg_mention_eval": kg_mention_eval,
+        "kg_mention_eval_macro": kg_mention_eval_macro,
+        "kg_mention_eval_token": kg_mention_eval_token,
+        "kg_entity_degrees": kg_entity_degrees,
+        "kg_conv_summaries": kg_conv_summaries,
     }
 
 
