@@ -84,18 +84,29 @@ def lsh_bucket_assignments(
     bare ``count()`` (the bench sink) short-circuits the bucket math and a
     parallelism-floor exchange would be the count's only cost; callers that
     materialize buckets at one-split input sizes pass ``floor=True`` for
-    the fan-out (the md5-per-plane-component dot products are the cost —
-    measured 22s single-core vs 2.1s floored at sf1.0)."""
+    the fan-out.
+
+    The hyperplane components are CONSTANTS (md5 of 'p{p}d{d-1}'), so they
+    are computed driver-side with the shared Python md5 mirror and inlined
+    as double literals in a FLAT sum-of-products expression — the r3/r9
+    lesson that nested SQL lambdas (here: an md5+conv per (plane, dim) PER
+    ROW, 384 hashes/row) fall out of whole-stage codegen. The arithmetic
+    is term-for-term the old fold (left-associated sum over d = 1..DIM,
+    first term absorbed from the 0D seed; IF(dot >= 0, 2^p, 0) summed over
+    planes), so every sign — and therefore every bucket value — is
+    bit-identical to the DuckDB oracle's per-row-md5 formulation
+    (measured: 22s → 0.9s single-table bucket materialization at sf1.0)."""
+    from ..functions.hashing import md5_int
+
     emb = _emb(spark, sf_dir, floor=floor)
-    comp = _plane_component_sql("p", "d - 1")
-    bucket = F.expr(
-        f"""
-        aggregate(sequence(0, {n_planes - 1}), 0L, (acc, p) ->
-          acc + CAST(IF(
-            aggregate(sequence(1, {DIM}), 0D, (s, d) -> s + v[d - 1] * ({comp})) >= 0,
-            CAST(pow(2.0, p) AS BIGINT), 0L) AS BIGINT))
-        """
-    )
+    terms = []
+    for p in range(n_planes):
+        comps = [
+            ((md5_int(f"p{p}d{d}") % 2001) - 1000) / 1000.0 for d in range(DIM)
+        ]
+        dot = " + ".join(f"v[{d}] * {comps[d]!r}" for d in range(DIM))
+        terms.append(f"IF(({dot}) >= 0D, {1 << p}L, 0L)")
+    bucket = F.expr(" + ".join(terms))
     return emb.select("vec_id", bucket.alias("bucket"))
 
 

@@ -459,9 +459,20 @@ def corpus_selection(
         .filter(~F.col("is_survivor"))
         .select("doc_id")
     )
+    # materialization barrier (guide §3.3) BETWEEN the computed stats and
+    # the gates: without it, predicate pushdown inlines the full quality /
+    # repetition expressions into a Filter BELOW the parallelism-floor
+    # exchange, re-tokenizing every document ~40x per predicate inside the
+    # scan stage (measured 210s at sf1.0 vs ~2s of actual stats work; the
+    # whole-stage-codegen subexpression elimination does not rescue an
+    # inlined filter of this size). The checkpointed table is the narrow
+    # per-document stats row — docs-sized, not corpus-text-sized — and the
+    # production corpus pipeline materializes these stages through TableIO
+    # anyway; the barrier gives the lazy one-query composition the same
+    # compute-once shape.
+    ql = q.join(l, "doc_id").localCheckpoint(eager=False)
     return (
-        q.join(l, "doc_id")
-        .filter(
+        ql.filter(
             (F.col("pred_lang") == lang)
             & (F.col("quality") >= min_quality)
             & (F.col("top_bigram_frac") <= max_top_bigram_frac)
@@ -662,7 +673,13 @@ def decontamination(
     ``broadcast`` hash join; the corpus side is a narrow explode of
     per-document distinct n-grams (no pre-join shuffle of the corpus);
     the only Exchange is the groupBy over the MATCHED rows, which is
-    contamination-sized, not corpus-sized."""
+    contamination-sized, not corpus-sized. LOAD-BEARING caveat (ADVICE
+    r8): the forced ``F.broadcast`` is safe only because the benchmark
+    side is genuinely small — the ``doc_id % benchmark_mod`` stand-in
+    selects ~1% of the CORPUS, which is corpus-proportional, so wiring a
+    real eval set in must replace the stand-in filter with the external
+    benchmark table (or drop the hint and let AQE decide) before running
+    at 100 TB."""
     docs = load_floor(spark, sf_dir, "documents", "doc_id").select(
         F.col("doc_id").cast("bigint").alias("doc_id"), _toks().alias("toks")
     )
