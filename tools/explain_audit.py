@@ -93,7 +93,12 @@ EXCHANGE_BOUNDS = {
     "kg_communities": 26,
     "kg_triangles": 8,
     "kg_entities_embedding": 16,
-    "dd_ngram_jaccard_pairs": 18,
+    # r9: doc_shingles gained the scan parallelism floor (one REPARTITION
+    # exchange per shingle-scan subtree; this plan references the shingle
+    # table from 6 subtrees). The floor is a no-op on multi-split
+    # production inputs, so the ceiling rises by exactly those 6 with the
+    # same ~25% headroom discipline (audited 24 in the r9 run).
+    "dd_ngram_jaccard_pairs": 30,
     "kg_mentions": 4,
 }
 
