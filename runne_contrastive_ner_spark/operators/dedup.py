@@ -213,6 +213,12 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = wide.select(
         "doc_id", F.explode(F.array(*keys)).alias("band_key")
     )
+    # self-join: without a barrier BOTH sides replay the whole
+    # scan → shingle → md5 → aggregate lineage (2x the expensive work).
+    # The banded table is docs x n_bands rows of (bigint, 32-char string)
+    # — dictionary-sized at any scale — so one lazy localCheckpoint
+    # (guide §3.3) computes the signature once and feeds both sides.
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -361,6 +367,10 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 6) -
             f" % shiftleft(1L, element_at({wid_arr}, band + 1))"
         ),
     )
+    # same self-join barrier as minhash_lsh_candidates: the banded table
+    # (docs x n_bands narrow rows) is checkpointed once instead of replaying
+    # the token-hash aggregation on both join sides
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     # hamming filter BEFORE the distinct (guide §2.3): the filter is a
